@@ -1,0 +1,57 @@
+"""Vector/transform math shared by traversal and shading.
+
+Mirrors the reference's device helpers (``utility.h:64-88``), including the
+reference's *non-standard* reflection formula, kept behind
+:func:`reflect_parity` (``utility.h:64-69`` computes ``n - 2 (i . n) n``
+instead of the standard ``i - 2 (i . n) n`` — a behavioral quirk that shapes
+its REFLECTIVE and COAT renders and must be reproduced for parity).
+All functions broadcast over leading batch dimensions.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
+    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
+    if eps:
+        n = jnp.maximum(n, eps)
+    return v / n
+
+
+def transform_position(p: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """``vec3(M @ vec4(p, 1))`` (utility.h:77-80). p: (..., 3), m: (4, 4)."""
+    return p @ m[:3, :3].T + m[:3, 3]
+
+
+def transform_direction(d: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """``vec3(M @ vec4(d, 0))`` (utility.h:71-74)."""
+    return d @ m[:3, :3].T
+
+
+def transform_normal(n: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-transpose of the upper-left 3x3 (utility.h:82-88)."""
+    it = jnp.linalg.inv(m[:3, :3]).T
+    return n @ it.T
+
+
+def reflect_parity(incident: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
+    """The reference's quirky ``reflectRay``: ``n - 2 (i . n) n``
+    (utility.h:64-69)."""
+    d = jnp.sum(incident * normal, axis=-1, keepdims=True)
+    return normal - 2.0 * d * normal
+
+
+def reflect_standard(incident: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
+    """Physically standard mirror reflection ``i - 2 (i . n) n``."""
+    d = jnp.sum(incident * normal, axis=-1, keepdims=True)
+    return incident - 2.0 * d * normal
+
+
+def dot3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(a * b, axis=-1)
+
+
+def cross3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.cross(a, b)

@@ -1,0 +1,194 @@
+"""MXU traversal engine: Pluecker-coordinate ray/triangle tests as matmuls.
+
+This is the TPU-first redesign of the reference's traversal
+(``Renderer.cpp:363-409``).  Two observations make it possible:
+
+1. The reference shades with a *flat* per-triangle normal (average of the
+   three vertex normals, ``Renderer.cpp:203``), so no barycentric
+   coordinates are needed downstream — a hit is fully described by
+   (distance, triangle id).
+2. The Moeller-Trumbore edge tests are, in Pluecker coordinates, *bilinear*
+   in (ray, triangle): with per-ray ``W = [dir, orig x dir]`` (6 floats) and
+   per-edge ``[p x q; q - p]`` (6 floats), the signed side value is a plain
+   dot product.  Testing a wavefront of N rays against T triangles is then
+   one ``(N, 6) @ (6, 3T)`` matmul — exactly what the TPU's systolic array
+   is built for — followed by cheap elementwise sign logic and an argmin.
+
+The three side values satisfy ``s_ab + s_bc + s_ca = dir . n`` (n the
+geometric normal), so the M-T determinant and barycentrics fall out for
+free:  ``det = sum(s)``, ``u = s_ca / det``, ``v = s_ab / det``, and
+``t = (d_plane - orig . n) / det`` — two more small matmuls.  The
+reference's epsilon tests on (u, v, u+v, t) are applied verbatim (they are
+unitless or world-unit quantities).
+
+All model instances are baked into one world-space soup (per-mesh grids and
+per-model ray transforms disappear; the reference's 11-model loop becomes a
+single matmul sweep).  Rays are processed in chunks to bound the (chunk, 3T)
+intermediate.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants
+from ..scene.types import SceneDevice, WorldTriangles
+from .intersect import HitRecord
+from .math import normalize
+
+F_MAX = constants.FLOAT_MAX
+EPS = constants.EPSILON
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def bake_world_triangles(scene: SceneDevice, pad_to: int = 128) -> WorldTriangles:
+    """Bake all model instances into a world-space triangle soup.
+
+    Pure jnp so gradients flow back to ``scene.vertex_pos`` /
+    ``scene.model_to_world`` / material colors (inverse rendering).
+    """
+    src = scene.world_tri_src
+    mdl = scene.world_tri_model
+    vidx = scene.tri_vidx[src]  # (Tw, 3)
+
+    m2w = scene.model_to_world[mdl]  # (Tw, 4, 4)
+    rot = m2w[:, :3, :3]
+    trans = m2w[:, :3, 3]
+
+    def xform(p):  # (Tw, 3) model-space points
+        return jnp.einsum("tij,tj->ti", rot, p) + trans
+
+    a = xform(scene.vertex_pos[vidx[:, 0]])
+    b = xform(scene.vertex_pos[vidx[:, 1]])
+    c = xform(scene.vertex_pos[vidx[:, 2]])
+
+    # Pluecker edge columns [p x q ; q - p] for edges (a,b), (b,c), (c,a)
+    def edge(p, q):
+        return jnp.concatenate([jnp.cross(p, q), q - p], axis=-1)  # (Tw, 6)
+
+    e_ab = edge(a, b)
+    e_bc = edge(b, c)
+    e_ca = edge(c, a)
+
+    n = jnp.cross(b - a, c - a)
+    d_plane = jnp.sum(n * a, axis=-1)
+
+    # shading normal: inverse-transpose of the per-model 3x3 applied to the
+    # averaged vertex normal (Renderer.cpp:203,397 + utility.h:82-88)
+    inv_t = jnp.transpose(jnp.linalg.inv(scene.model_to_world[:, :3, :3]), (0, 2, 1))
+    navg = (
+        scene.vertex_nrm[vidx[:, 0]]
+        + scene.vertex_nrm[vidx[:, 1]]
+        + scene.vertex_nrm[vidx[:, 2]]
+    ) * (1.0 / 3.0)
+    shade_n = normalize(jnp.einsum("tij,tj->ti", inv_t[mdl], navg))
+
+    mat_type = scene.mat_type[mdl]
+    mat_color = scene.mat_color[mdl]
+
+    tw = a.shape[0]
+    t_pad = _round_up(tw, pad_to)
+    pad = t_pad - tw
+
+    def padt(x, value=0.0):
+        cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=value)
+
+    edges = jnp.stack([padt(e_ab), padt(e_bc), padt(e_ca)], axis=1)  # (T, 3, 6)
+    edge_pluecker = edges.reshape(t_pad * 3, 6).T  # (6, 3T)
+
+    return WorldTriangles(
+        edge_pluecker=edge_pluecker,
+        plane_n=padt(n),
+        plane_d=padt(d_plane),
+        shade_normal=padt(shade_n),
+        mat_type=padt(mat_type).astype(jnp.int32),
+        mat_color=padt(mat_color),
+        valid=jnp.pad(jnp.ones(tw, jnp.float32), (0, pad)),
+        v0=padt(a),
+        e1=padt(b - a),
+        e2=padt(c - a),
+    )
+
+
+def _trace_chunk(world: WorldTriangles, ro, rd_n):
+    """Intersect one chunk of rays against the full soup.
+
+    ro, rd_n: (n, 3) with rd_n normalized.  Returns (t (n,), tri_idx (n,)).
+    """
+    t_tris = world.plane_d.shape[0]
+    w = jnp.concatenate([rd_n, jnp.cross(ro, rd_n)], axis=-1)  # (n, 6)
+
+    s = jax.lax.dot_general(
+        w,
+        world.edge_pluecker.reshape(6, -1),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (n, 3T)
+    s3 = s.reshape(s.shape[0], t_tris, 3)
+    det = s3[..., 0] + s3[..., 1] + s3[..., 2]  # = dir . n
+    inv_det = 1.0 / det
+    u = s3[..., 2] * inv_det  # s_ca / det — weight of vertex b
+    v = s3[..., 0] * inv_det  # s_ab / det — weight of vertex c
+
+    # t from the plane equation; dir . n == det (no extra matmul needed)
+    o_dot_n = jax.lax.dot_general(
+        ro,
+        world.plane_n.T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (n, T)
+    t = (world.plane_d[None, :] - o_dot_n) * inv_det
+
+    accept = (
+        (det != 0.0)
+        & ~(u < -EPS)
+        & ~(u > 1.0 + EPS)
+        & ~(v < -EPS)
+        & ~(u + v > 1.0 + EPS)
+        & ~(t < -EPS)
+        & (world.valid[None, :] > 0.0)
+    )
+    t_masked = jnp.where(accept, t, F_MAX)
+    idx = jnp.argmin(t_masked, axis=1)
+    best_t = jnp.take_along_axis(t_masked, idx[:, None], axis=1)[:, 0]
+    return best_t, idx
+
+
+def trace_mxu(
+    world: WorldTriangles, ro: jax.Array, rd: jax.Array, chunk_size: int = 8192
+) -> HitRecord:
+    """Full-scene nearest-hit for a wavefront of world-space rays.
+
+    Equivalent in results to ``computeRaySceneIntersectionKernel``
+    (``Renderer.cpp:363-409``) minus the DDA early-exit quirk (this engine
+    always returns the true nearest hit).
+    """
+    n = ro.shape[0]
+    rd_n = normalize(rd)
+
+    if n <= chunk_size:
+        t, idx = _trace_chunk(world, ro, rd_n)
+    else:
+        n_pad = _round_up(n, chunk_size)
+        ro_p = jnp.pad(ro, ((0, n_pad - n), (0, 0)))
+        rd_p = jnp.pad(rd_n, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+        ro_c = ro_p.reshape(-1, chunk_size, 3)
+        rd_c = rd_p.reshape(-1, chunk_size, 3)
+        t, idx = jax.lax.map(lambda args: _trace_chunk(world, *args), (ro_c, rd_c))
+        t = t.reshape(-1)[:n]
+        idx = idx.reshape(-1)[:n]
+
+    hit = t < F_MAX
+    return HitRecord(
+        t=t,
+        normal=jnp.where(hit[:, None], world.shade_normal[idx], 0.0),
+        mat_type=jnp.where(hit, world.mat_type[idx], 0),
+        mat_color=jnp.where(hit[:, None], world.mat_color[idx], 0.0),
+    )

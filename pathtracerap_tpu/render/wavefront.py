@@ -1,0 +1,238 @@
+"""The wavefront render loop.
+
+The reference's host-orchestrated pipeline of ~21 kernel launches per sample
+iteration with full-device syncs between each (``Renderer.cpp:567-648``)
+becomes ONE jitted XLA program, structured TPU-first:
+
+* the image is processed as an outer ``lax.scan`` over fixed-size **ray
+  tiles** — compile time and on-chip memory are independent of resolution;
+* per tile, a ``lax.fori_loop`` runs the sample iterations; the (static)
+  bounce loop of trace+shade steps is unrolled inside;
+* the reference's first-intersection cache (``Renderer.cpp:594-613``)
+  survives as hoisting the tile's primary-hit trace out of the sample loop —
+  valid exactly when primary rays are deterministic (the jitterless parity
+  camera);
+* stream compaction (``Renderer.cpp:625-634``) is replaced by per-lane
+  liveness masks inside :func:`~pathtracerap_tpu.render.shade.shade`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..io.bmp import quantize_image, write_bmp
+from ..ops.intersect import trace_parity
+from ..ops.plucker import bake_world_triangles, trace_mxu
+from ..ops.rng import tile_uniforms
+from ..scene.types import SceneDevice
+from .camera import generate_rays
+from .shade import RayState, gather_contribution, shade
+
+DEFAULT_TILE = 8192
+
+
+def _make_tracer(scene: SceneDevice, engine: str, world=None):
+    if engine == "parity":
+        return lambda ro, rd: trace_parity(scene, ro, rd)
+    if engine == "mxu":
+        if world is None:
+            world = bake_world_triangles(scene)
+        return lambda ro, rd: trace_mxu(world, ro, rd)
+    raise ValueError(f"unknown engine: {engine!r}")
+
+
+def render_sample(
+    scene: SceneDevice,
+    ro: jax.Array,
+    rd: jax.Array,
+    key: jax.Array,
+    sample_index,
+    max_bounces: int,
+    engine: str = "mxu",
+    parity: bool = True,
+    primary_hits=None,
+    tracer=None,
+    tile_index=0,
+) -> jax.Array:
+    """Path-trace one sample iteration for one ray tile; returns (n, 3)."""
+    if tracer is None:
+        tracer = _make_tracer(scene, engine)
+    n = ro.shape[0]
+    state = RayState.primary(ro, rd, max_bounces)
+
+    for b in range(max_bounces):
+        hits = tracer(state.orig, state.dir) if (b > 0 or primary_hits is None) else primary_hits
+        depth = max_bounces - b  # == remaining_bounces of live lanes (Renderer.cpp:435)
+        u = tile_uniforms(key, sample_index, depth, tile_index, n)
+        state = shade(state, hits, u, parity=parity)
+
+    return gather_contribution(state)
+
+
+def _render_tile(
+    tracer,
+    ro_t,
+    rd_t,
+    tile_index,
+    key,
+    n_samples: int,
+    max_bounces: int,
+    parity: bool,
+    sample_offset,
+    scene: SceneDevice,
+):
+    """All samples for one ray tile: fori_loop over samples, bounces unrolled."""
+    primary = tracer(ro_t, rd_t)
+
+    def body(i, acc):
+        contrib = render_sample(
+            scene,
+            ro_t,
+            rd_t,
+            key,
+            sample_offset + i,
+            max_bounces,
+            parity=parity,
+            primary_hits=primary,
+            tracer=tracer,
+            tile_index=tile_index,
+        )
+        return acc + contrib
+
+    return jax.lax.fori_loop(
+        0, n_samples, body, jnp.zeros((ro_t.shape[0], 3), jnp.float32)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "camera",
+        "n_samples",
+        "max_bounces",
+        "engine",
+        "parity",
+        "resolution",
+        "tile_size",
+    ),
+)
+def render_accumulate(
+    scene: SceneDevice,
+    key: jax.Array,
+    camera,
+    resolution,
+    n_samples: int,
+    max_bounces: int,
+    engine: str = "mxu",
+    parity: bool = True,
+    sample_offset: int = 0,
+    init_accum: Optional[jax.Array] = None,
+    world=None,
+    tile_size: int = DEFAULT_TILE,
+):
+    """Accumulate ``n_samples`` sample iterations; returns (N, 3) sums.
+
+    ``camera`` is a (hashable, frozen) CameraConfig treated as static;
+    ``sample_offset`` supports checkpoint/resume chunking.  ``world`` is an
+    optional pre-baked WorldTriangles (bake once per scene, outside jit — a
+    fused in-jit bake crashes the TPU fusion pass and recompiles per call).
+    """
+    if camera.jitter:
+        raise NotImplementedError(
+            "jittered primary rays arrive with the quality-mode camera; "
+            "parity mode is jitterless like the reference (Renderer.cpp:538-545)"
+        )
+    ro, rd = generate_rays(camera, resolution)
+    tracer = _make_tracer(scene, engine, world=world)
+    n = ro.shape[0]
+
+    render_tile = functools.partial(
+        _render_tile,
+        tracer,
+        key=key,
+        n_samples=n_samples,
+        max_bounces=max_bounces,
+        parity=parity,
+        sample_offset=sample_offset,
+        scene=scene,
+    )
+
+    if n <= tile_size:
+        acc = render_tile(ro, rd, 0)
+    else:
+        n_pad = -(-n // tile_size) * tile_size
+        ro_p = jnp.pad(ro, ((0, n_pad - n), (0, 0)))
+        rd_p = jnp.pad(rd, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+        ro_tiles = ro_p.reshape(-1, tile_size, 3)
+        rd_tiles = rd_p.reshape(-1, tile_size, 3)
+        n_tiles = ro_tiles.shape[0]
+
+        def scan_body(_, inp):
+            ro_t, rd_t, k = inp
+            return None, render_tile(ro_t, rd_t, k)
+
+        _, acc_tiles = jax.lax.scan(
+            scan_body, None, (ro_tiles, rd_tiles, jnp.arange(n_tiles))
+        )
+        acc = acc_tiles.reshape(-1, 3)[:n]
+
+    if init_accum is not None:
+        acc = acc + init_accum
+    return acc
+
+
+class Renderer:
+    """High-level facade: the analog of the reference's ``Renderer``
+    lifecycle (``main.cpp:14-22``) minus the manual memory management."""
+
+    def __init__(self, scene: SceneDevice, config: RenderConfig):
+        self.scene = scene
+        self.config = config
+        # bake once per scene; jitted so it runs on-device
+        self.world = (
+            jax.jit(bake_world_triangles)(scene) if config.engine == "mxu" else None
+        )
+
+    def render(self, seed: Optional[int] = None) -> jnp.ndarray:
+        """Full render; returns the (H, W, 3) float image in [0, 1]
+        (accumulated contributions / n_samples, pre-quantization)."""
+        cfg = self.config
+        key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        w, h = cfg.resolution
+        chunk = cfg.samples_per_chunk or cfg.samples_per_pixel
+        accum = None
+        done = 0
+        while done < cfg.samples_per_pixel:
+            step = min(chunk, cfg.samples_per_pixel - done)
+            accum = render_accumulate(
+                self.scene,
+                key,
+                cfg.camera,
+                cfg.resolution,
+                n_samples=step,
+                max_bounces=cfg.max_bounces,
+                engine=cfg.engine,
+                parity=cfg.parity,
+                sample_offset=done,
+                init_accum=accum,
+                world=self.world,
+            )
+            done += step
+        image = accum.reshape(h, w, 3) / cfg.samples_per_pixel
+        return image
+
+    def render_to_bmp(self, path: str, seed: Optional[int] = None) -> jnp.ndarray:
+        image = self.render(seed=seed)
+        accum = jax.device_get(image) * self.config.samples_per_pixel
+        write_bmp(path, quantize_image(accum, self.config.samples_per_pixel))
+        return image
+
+
+def render_image(scene: SceneDevice, config: RenderConfig, seed: Optional[int] = None):
+    """One-call convenience: returns (H, W, 3) float image."""
+    return Renderer(scene, config).render(seed=seed)

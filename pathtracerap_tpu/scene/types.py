@@ -108,9 +108,28 @@ class SceneHost:
     def num_triangles(self) -> int:
         return int(self.tri_vidx.shape[0])
 
+    def world_instance_maps(self):
+        """Static index maps enumerating every (model, mesh triangle) pair.
+
+        ``world_tri_src[k]`` is the global triangle index and
+        ``world_tri_model[k]`` the model instance for world triangle ``k``.
+        This flattening is what lets the MXU engine treat the whole scene as
+        one world-space triangle soup.
+        """
+        srcs, mdls = [], []
+        for i in range(self.num_models):
+            mi = int(self.model_mesh[i])
+            ts, te = int(self.mesh_tri_start[mi]), int(self.mesh_tri_end[mi])
+            srcs.append(np.arange(ts, te, dtype=np.int32))
+            mdls.append(np.full(te - ts, i, dtype=np.int32))
+        return np.concatenate(srcs), np.concatenate(mdls)
+
     def to_device(self) -> "SceneDevice":
         as_jnp = lambda a: jnp.asarray(a)
+        world_tri_src, world_tri_model = self.world_instance_maps()
         return SceneDevice(
+            world_tri_src=as_jnp(world_tri_src),
+            world_tri_model=as_jnp(world_tri_model),
             vertex_pos=as_jnp(self.vertex_pos),
             vertex_nrm=as_jnp(self.vertex_nrm),
             tri_vidx=as_jnp(self.tri_vidx),
@@ -155,6 +174,8 @@ class SceneDevice:
     voxel_tri_count: jax.Array
     per_voxel_tris: jax.Array
     voxel_tris_ell: jax.Array
+    world_tri_src: jax.Array  # (Tw,) i32 global triangle per world instance tri
+    world_tri_model: jax.Array  # (Tw,) i32 owning model instance
     grid_dims: tuple = struct.field(pytree_node=False, default=(25, 25, 25))
 
     @property
