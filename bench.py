@@ -1,0 +1,71 @@
+"""Benchmark driver: forward path-tracing throughput on the reference scene.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload matches the reference's headline configuration
+(``Config.h:12-19``): 1000x800 primary rays, 5 bounces, on the real chip.
+Throughput counts ray-bounce traversals the way the reference's derived
+upper bound does (SURVEY.md section 6: W*H*spp*bounces), i.e. dead lanes
+count — the masked-wavefront analog of the reference's compacted launches.
+
+vs_baseline is value / 100 (the BASELINE.json north-star target of
+100 Mrays/s/chip); the reference itself publishes no numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def main() -> None:
+    from pathtracerap_tpu.config import RenderConfig
+    from pathtracerap_tpu.render.wavefront import Renderer
+    from pathtracerap_tpu.scene.build import build_reference_scene
+
+    resolution = (1000, 800)
+    spp = 8
+    max_bounces = 5
+
+    scene = build_reference_scene().to_device()
+    cfg = RenderConfig(
+        resolution=resolution,
+        samples_per_pixel=spp,
+        max_bounces=max_bounces,
+        engine="mxu",
+    )
+    r = Renderer(scene, cfg)
+
+    # warmup + compile; time with a host fetch — block_until_ready does not
+    # reliably synchronize through the axon remote-execution tunnel
+    np.asarray(r.render())
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        img = np.asarray(r.render())
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    rays = resolution[0] * resolution[1] * spp * max_bounces
+    mrays = rays / dt / 1e6
+    sanity = float(img.mean())
+    assert 0.01 < sanity < 1.0, f"render sanity check failed: mean={sanity}"
+
+    print(
+        json.dumps(
+            {
+                "metric": "fwd_path_trace_throughput",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s/chip",
+                "vs_baseline": round(mrays / 100.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -30,9 +30,41 @@ def transform_direction(d: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     return d @ m[:3, :3].T
 
 
+def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form cofactor inverse of (..., 3, 3) matrices.
+
+    Used instead of ``jnp.linalg.inv`` everywhere on the compute path: the
+    LU-based inverse lowers to loops that (a) the TPU fusion pass chokes on
+    when fused into large render programs and (b) block gradient fusion.
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    ca = e * i - f * h
+    cb = -(d * i - f * g)
+    cc = d * h - e * g
+    cd = -(b * i - c * h)
+    ce = a * i - c * g
+    cf = -(a * h - b * g)
+    cg = b * f - c * e
+    ch = -(a * f - c * d)
+    ci = a * e - b * d
+    det = a * ca + b * cb + c * cc
+    # inverse = cofactor^T / det
+    inv = jnp.stack(
+        [
+            jnp.stack([ca, cd, cg], axis=-1),
+            jnp.stack([cb, ce, ch], axis=-1),
+            jnp.stack([cc, cf, ci], axis=-1),
+        ],
+        axis=-2,
+    )
+    return inv / det[..., None, None]
+
+
 def transform_normal(n: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     """Inverse-transpose of the upper-left 3x3 (utility.h:82-88)."""
-    it = jnp.linalg.inv(m[:3, :3]).T
+    it = inv3x3(m[:3, :3]).T
     return n @ it.T
 
 

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from .. import constants
 from ..scene.types import SceneDevice, WorldTriangles
 from .intersect import HitRecord
-from .math import normalize
+from .math import inv3x3, normalize
 
 F_MAX = constants.FLOAT_MAX
 EPS = constants.EPSILON
@@ -81,7 +81,7 @@ def bake_world_triangles(scene: SceneDevice, pad_to: int = 128) -> WorldTriangle
 
     # shading normal: inverse-transpose of the per-model 3x3 applied to the
     # averaged vertex normal (Renderer.cpp:203,397 + utility.h:82-88)
-    inv_t = jnp.transpose(jnp.linalg.inv(scene.model_to_world[:, :3, :3]), (0, 2, 1))
+    inv_t = jnp.transpose(inv3x3(scene.model_to_world[:, :3, :3]), (0, 2, 1))
     navg = (
         scene.vertex_nrm[vidx[:, 0]]
         + scene.vertex_nrm[vidx[:, 1]]
@@ -100,8 +100,12 @@ def bake_world_triangles(scene: SceneDevice, pad_to: int = 128) -> WorldTriangle
         cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, cfg, constant_values=value)
 
-    edges = jnp.stack([padt(e_ab), padt(e_bc), padt(e_ca)], axis=1)  # (T, 3, 6)
-    edge_pluecker = edges.reshape(t_pad * 3, 6).T  # (6, 3T)
+    # edge-major layout: (3 edges, 6, T) — three clean (N,6)@(6,T) matmuls
+    # per chunk instead of one (N,6)@(6,3T) followed by lane-strided slicing
+    # (strided lane access forces TPU relayouts and destabilizes fusion)
+    edge_pluecker = jnp.stack(
+        [padt(e_ab).T, padt(e_bc).T, padt(e_ca).T], axis=0
+    )  # (3, 6, T)
 
     return WorldTriangles(
         edge_pluecker=edge_pluecker,
@@ -122,20 +126,25 @@ def _trace_chunk(world: WorldTriangles, ro, rd_n):
 
     ro, rd_n: (n, 3) with rd_n normalized.  Returns (t (n,), tri_idx (n,)).
     """
-    t_tris = world.plane_d.shape[0]
     w = jnp.concatenate([rd_n, jnp.cross(ro, rd_n)], axis=-1)  # (n, 6)
 
-    s = jax.lax.dot_general(
-        w,
-        world.edge_pluecker.reshape(6, -1),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (n, 3T)
-    s3 = s.reshape(s.shape[0], t_tris, 3)
-    det = s3[..., 0] + s3[..., 1] + s3[..., 2]  # = dir . n
-    inv_det = 1.0 / det
-    u = s3[..., 2] * inv_det  # s_ca / det — weight of vertex b
-    v = s3[..., 0] * inv_det  # s_ab / det — weight of vertex c
+    def side(e):
+        return jax.lax.dot_general(
+            w,
+            world.edge_pluecker[e],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n, T)
+
+    s_ab, s_bc, s_ca = side(0), side(1), side(2)
+    det = s_ab + s_bc + s_ca  # = dir . n
+    # safe division: padding/parallel triangles have det == 0; dividing by
+    # it poisons reverse-mode AD with NaN through the jnp.where (the
+    # standard "double where" rule), so neutralize the denominator first.
+    parallel = det == 0.0
+    inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+    u = s_ca * inv_det  # weight of vertex b
+    v = s_ab * inv_det  # weight of vertex c
 
     # t from the plane equation; dir . n == det (no extra matmul needed)
     o_dot_n = jax.lax.dot_general(
@@ -147,7 +156,7 @@ def _trace_chunk(world: WorldTriangles, ro, rd_n):
     t = (world.plane_d[None, :] - o_dot_n) * inv_det
 
     accept = (
-        (det != 0.0)
+        ~parallel
         & ~(u < -EPS)
         & ~(u > 1.0 + EPS)
         & ~(v < -EPS)

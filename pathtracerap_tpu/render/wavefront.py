@@ -109,6 +109,32 @@ def _render_tile(
     )
 
 
+def render_ray_array(render_tile, ro, rd, tile_size: int, tile_base=0):
+    """Run ``render_tile(ro_t, rd_t, tile_index)`` over an arbitrary ray
+    array via an outer lax.scan of fixed-size tiles.
+
+    ``tile_base`` offsets the tile indices (used by the sharded renderer so
+    each device's tiles draw independent RNG streams).
+    """
+    n = ro.shape[0]
+    if n <= tile_size:
+        return render_tile(ro, rd, tile_base)
+
+    n_pad = -(-n // tile_size) * tile_size
+    ro_p = jnp.pad(ro, ((0, n_pad - n), (0, 0)))
+    rd_p = jnp.pad(rd, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    ro_tiles = ro_p.reshape(-1, tile_size, 3)
+    rd_tiles = rd_p.reshape(-1, tile_size, 3)
+    n_tiles = ro_tiles.shape[0]
+
+    def scan_body(_, inp):
+        ro_t, rd_t, k = inp
+        return None, render_tile(ro_t, rd_t, tile_base + k)
+
+    _, acc_tiles = jax.lax.scan(scan_body, None, (ro_tiles, rd_tiles, jnp.arange(n_tiles)))
+    return acc_tiles.reshape(-1, 3)[:n]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -162,24 +188,7 @@ def render_accumulate(
         scene=scene,
     )
 
-    if n <= tile_size:
-        acc = render_tile(ro, rd, 0)
-    else:
-        n_pad = -(-n // tile_size) * tile_size
-        ro_p = jnp.pad(ro, ((0, n_pad - n), (0, 0)))
-        rd_p = jnp.pad(rd, ((0, n_pad - n), (0, 0)), constant_values=1.0)
-        ro_tiles = ro_p.reshape(-1, tile_size, 3)
-        rd_tiles = rd_p.reshape(-1, tile_size, 3)
-        n_tiles = ro_tiles.shape[0]
-
-        def scan_body(_, inp):
-            ro_t, rd_t, k = inp
-            return None, render_tile(ro_t, rd_t, k)
-
-        _, acc_tiles = jax.lax.scan(
-            scan_body, None, (ro_tiles, rd_tiles, jnp.arange(n_tiles))
-        )
-        acc = acc_tiles.reshape(-1, 3)[:n]
+    acc = render_ray_array(render_tile, ro, rd, tile_size)
 
     if init_accum is not None:
         acc = acc + init_accum

@@ -191,13 +191,14 @@ class WorldTriangles:
     lane width); padding rows have ``valid == 0`` and are rejected by the
     hit test.
 
-    Layout for the side-test matmul: ``W (N, 6) @ edge_pluecker (6, 3*T)``
-    where ``W = [dir, orig x dir]`` per ray and each triangle contributes
-    three edge columns ``[m_e; d_e]`` with ``m_e = p x q`` and ``d_e = q - p``
-    for directed edges (a,b), (b,c), (c,a).
+    Layout for the side-test matmuls: edge-major ``(3, 6, T)`` — one
+    ``W (N, 6) @ (6, T)`` matmul per triangle edge, where
+    ``W = [dir, orig x dir]`` per ray and each triangle edge (p, q)
+    contributes a column ``[m_e; d_e]`` with ``m_e = p x q``,
+    ``d_e = q - p``, for directed edges (a,b), (b,c), (c,a).
     """
 
-    edge_pluecker: jax.Array  # (6, 3*T) f32
+    edge_pluecker: jax.Array  # (3, 6, T) f32
     plane_n: jax.Array  # (T, 3) f32 geometric normal (b-a) x (c-a)
     plane_d: jax.Array  # (T,) f32   dot(n, a)
     shade_normal: jax.Array  # (T, 3) f32 normalized averaged vertex normal (world)

@@ -1,0 +1,71 @@
+"""Multi-device tests on the 8-device CPU fake mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pathtracerap_tpu.config import CameraConfig, RenderConfig
+from pathtracerap_tpu.parallel.sharding import (
+    default_mesh,
+    render_accumulate_sample_parallel,
+    render_image_dp,
+)
+from pathtracerap_tpu.render.wavefront import Renderer
+from pathtracerap_tpu.scene.build import build_cornell_box_scene
+
+RES = (32, 16)
+CAMERA = CameraConfig(
+    position=(0.0, 0.0, 150.0),
+    plane_x=(-40.0, 40.0),
+    plane_y=(-30.0, 30.0),
+    plane_z=100.0,
+)
+
+
+@pytest.fixture(scope="module")
+def cornell_dev():
+    return build_cornell_box_scene().to_device()
+
+
+def test_mesh_has_8_devices():
+    mesh = default_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_ray_sharded_render_runs_and_is_sane(cornell_dev):
+    cfg = RenderConfig(
+        resolution=RES, samples_per_pixel=4, max_bounces=3, camera=CAMERA, engine="mxu"
+    )
+    mesh = default_mesh()
+    img = np.asarray(render_image_dp(cornell_dev, cfg, mesh=mesh, tile_size=64))
+    assert img.shape == (RES[1], RES[0], 3)
+    assert np.all(np.isfinite(img))
+    assert img.max() > 0.05
+
+    # single-device reference with the same tile size: tiles are assigned to
+    # devices contiguously, so per-tile RNG streams and results line up
+    single = np.asarray(
+        Renderer(cornell_dev, cfg).render()
+    )
+    # different tile size on the facade path (8192) => different RNG stream;
+    # compare statistics, not pixels
+    assert abs(img.mean() - single.mean()) < 0.05
+
+
+def test_sample_parallel_matches_device_count_invariance(cornell_dev):
+    from pathtracerap_tpu.ops.plucker import bake_world_triangles
+
+    mesh = default_mesh()
+    world = jax.jit(bake_world_triangles)(cornell_dev)
+    key = jax.random.PRNGKey(3)
+    acc = render_accumulate_sample_parallel(
+        cornell_dev, key, CAMERA, RES, n_samples=8, max_bounces=2,
+        mesh=mesh, world=world, tile_size=512,
+    )
+    acc = np.asarray(acc)
+    assert acc.shape == (RES[0] * RES[1], 3)
+    assert np.all(np.isfinite(acc))
+    # 8 samples accumulated: values in [0, 8]
+    assert acc.max() <= 8.0 + 1e-5
+    assert acc.max() > 0.2
