@@ -1,0 +1,218 @@
+"""Command-line interface: ``python -m pathtracerap_tpu.cli <cmd>``.
+
+The reference has no CLI at all — ``main()`` ignores its config string and
+renders one hard-coded scene (``main.cpp:14``, ``Scene.cpp:3``).  Commands:
+
+* ``render``    — render a scene file (or the built-in reference/cornell
+                  scenes) to BMP, with checkpoint/resume and metrics.
+* ``benchmark`` — throughput measurement, JSON output.
+* ``invert``    — inverse rendering: fit material colors to a target image.
+* ``info``      — print scene statistics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load_scene(args):
+    """Returns (scene_host, config) honoring scene file + CLI overrides."""
+    from .config import RenderConfig
+    from .scene.build import build_cornell_box_scene, build_reference_scene
+
+    overrides = {}
+    if args.width or args.height:
+        w = args.width or 1000
+        h = args.height or 800
+        overrides["resolution"] = (w, h)
+    if args.spp:
+        overrides["samples_per_pixel"] = args.spp
+    if args.bounces:
+        overrides["max_bounces"] = args.bounces
+    if args.engine:
+        overrides["engine"] = args.engine
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    if args.samples_per_chunk:
+        overrides["samples_per_chunk"] = args.samples_per_chunk
+
+    if args.scene == "reference":
+        return build_reference_scene(), RenderConfig(**overrides)
+    if args.scene == "cornell":
+        from .config import CameraConfig
+
+        overrides.setdefault("resolution", (256, 256))
+        overrides.setdefault(
+            "camera",
+            CameraConfig(
+                position=(0.0, 0.0, 150.0),
+                plane_x=(-40.0, 40.0),
+                plane_y=(-40.0, 40.0),
+                plane_z=100.0,
+            ),
+        )
+        return build_cornell_box_scene(), RenderConfig(**overrides)
+
+    from .scene.dsl import load_scene_file, render_config_from_parsed
+
+    parsed = load_scene_file(args.scene)
+    return parsed.scene, render_config_from_parsed(parsed, **overrides)
+
+
+def _add_common(p):
+    p.add_argument("--scene", default="reference",
+                   help="scene file path, or 'reference' / 'cornell'")
+    p.add_argument("--width", type=int, default=0)
+    p.add_argument("--height", type=int, default=0)
+    p.add_argument("--spp", type=int, default=0)
+    p.add_argument("--bounces", type=int, default=0)
+    p.add_argument("--engine", default="", choices=["", "parity", "mxu", "pallas"])
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--samples-per-chunk", type=int, default=0)
+
+
+def cmd_render(args):
+    import numpy as np
+
+    from .io.bmp import quantize_image, write_bmp
+    from .render.wavefront import Renderer
+    from .utils.metrics import MetricsLogger
+
+    scene, cfg = _load_scene(args)
+    renderer = Renderer(scene.to_device(), cfg)
+    metrics = MetricsLogger(cfg, enabled=not args.quiet)
+    image = renderer.render(checkpoint_path=args.checkpoint, metrics=metrics)
+    image = np.asarray(image)
+    metrics.finalize(cfg.samples_per_pixel)
+    accum = image * cfg.samples_per_pixel
+    write_bmp(args.out, quantize_image(accum, cfg.samples_per_pixel), parity=not args.standard_bmp)
+    if not args.quiet:
+        print(f"wrote {args.out} ({cfg.resolution[0]}x{cfg.resolution[1]}, "
+              f"{cfg.samples_per_pixel} spp, engine={cfg.engine})")
+    return 0
+
+
+def cmd_benchmark(args):
+    import numpy as np
+
+    from .render.wavefront import Renderer
+
+    scene, cfg = _load_scene(args)
+    renderer = Renderer(scene.to_device(), cfg)
+    np.asarray(renderer.render())  # warmup/compile
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        np.asarray(renderer.render())
+        times.append(time.perf_counter() - t0)
+    w, h = cfg.resolution
+    rays = w * h * cfg.samples_per_pixel * cfg.max_bounces
+    out = {
+        "engine": cfg.engine,
+        "resolution": [w, h],
+        "spp": cfg.samples_per_pixel,
+        "bounces": cfg.max_bounces,
+        "best_wall_s": round(min(times), 4),
+        "mrays_per_s": round(rays / min(times) / 1e6, 2),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_invert(args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from .diff.grad import extract_params, make_train_step, render_for_params
+    from .io.bmp import read_bmp
+
+    scene, cfg = _load_scene(args)
+    dev = scene.to_device()
+    key = jax.random.PRNGKey(cfg.seed)
+    w, h = cfg.resolution
+    n = w * h
+
+    if args.target:
+        img = read_bmp(args.target).astype(np.float32) / 255.0
+        if img.shape[:2] != (h, w):
+            raise SystemExit(f"target is {img.shape[1]}x{img.shape[0]}, render is {w}x{h}")
+        target = jnp.asarray(img.reshape(n, 3))
+    else:
+        # self-calibration demo: recover the true colors from a perturbed start
+        target = render_for_params(
+            extract_params(dev, ("mat_color",)), dev, key, cfg.camera,
+            cfg.resolution, cfg.samples_per_pixel, cfg.max_bounces,
+        )
+
+    params = extract_params(dev, ("mat_color",))
+    if not args.target:
+        params = {"mat_color": params["mat_color"] * 0.5}
+
+    step = make_train_step(
+        dev, cfg.camera, cfg.resolution, cfg.samples_per_pixel, cfg.max_bounces,
+        lr=args.lr,
+    )
+    for i in range(args.steps):
+        loss, params = step(params, target, key)
+        print(f"step {i}: loss={float(loss):.6f}", flush=True)
+    out = np.asarray(params["mat_color"])
+    print("optimized mat_color:")
+    print(np.array2string(out, precision=4))
+    return 0
+
+
+def cmd_info(args):
+    scene, cfg = _load_scene(args)
+    stats = {
+        "models": scene.num_models,
+        "meshes": int(scene.mesh_tri_start.shape[0]),
+        "triangles": scene.num_triangles,
+        "grids": int(scene.grid_mesh.shape[0]),
+        "voxels": int(scene.voxel_tri_start.shape[0]),
+        "per_voxel_entries": int(scene.per_voxel_tris.shape[0]),
+        "ell_width": int(scene.voxel_tris_ell.shape[1]),
+        "config": cfg.to_dict(),
+    }
+    print(json.dumps(stats, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="pathtracerap_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="render a scene to BMP")
+    _add_common(p)
+    p.add_argument("--out", default="Render.bmp")
+    p.add_argument("--checkpoint", default="", help="checkpoint file for resume")
+    p.add_argument("--standard-bmp", action="store_true",
+                   help="write standards-compliant BMP instead of reference-parity bytes")
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("benchmark", help="measure render throughput")
+    _add_common(p)
+    p.add_argument("--repeats", type=int, default=3)
+    p.set_defaults(fn=cmd_benchmark)
+
+    p = sub.add_parser("invert", help="inverse rendering (fit material colors)")
+    _add_common(p)
+    p.add_argument("--target", default="", help="target BMP (default: self-demo)")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--lr", type=float, default=0.1)
+    p.set_defaults(fn=cmd_invert)
+
+    p = sub.add_parser("info", help="print scene statistics")
+    _add_common(p)
+    p.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,7 +48,8 @@ class RenderConfig:
     camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
 
     # Traversal engine: "parity" (reference-faithful vectorized DDA),
-    # "mxu" (Pluecker matmul engine, TPU-first), or "grid" (Pallas DDA).
+    # "mxu" (Pluecker matmul engine via XLA), or "pallas" (fused Pluecker
+    # nearest-hit kernel — fastest on TPU).
     engine: str = "mxu"
 
     # parity=True reproduces the reference's behavioral quirks exactly
@@ -76,7 +77,8 @@ class RenderConfig:
     seed: int = 0
 
     def to_dict(self) -> dict:
-        return dataclasses.asdict(self)
+        # JSON-canonical (tuples -> lists) so round-trips compare equal
+        return json.loads(json.dumps(dataclasses.asdict(self)))
 
     def to_json(self) -> str:
         return json.dumps(self.to_dict(), indent=2)

@@ -106,9 +106,16 @@ def bake_world_triangles(scene: SceneDevice, pad_to: int = 128) -> WorldTriangle
     edge_pluecker = jnp.stack(
         [padt(e_ab).T, padt(e_bc).T, padt(e_ca).T], axis=0
     )  # (3, 6, T)
+    # matmul-ready packs (K padded to 8 for clean MXU/VMEM tiling):
+    edge_mat = jnp.pad(edge_pluecker, ((0, 0), (0, 2), (0, 0)))
+    plane_mat = jnp.concatenate(
+        [padt(n).T, padt(d_plane)[None, :], jnp.zeros((4, t_pad), jnp.float32)], axis=0
+    )  # (8, T)
 
     return WorldTriangles(
         edge_pluecker=edge_pluecker,
+        edge_mat=edge_mat,
+        plane_mat=plane_mat,
         plane_n=padt(n),
         plane_d=padt(d_plane),
         shade_normal=padt(shade_n),
@@ -129,10 +136,14 @@ def _trace_chunk(world: WorldTriangles, ro, rd_n):
     w = jnp.concatenate([rd_n, jnp.cross(ro, rd_n)], axis=-1)  # (n, 6)
 
     def side(e):
+        # HIGHEST: TPU "default" f32 matmul is single-pass bf16 (~3e-3 rel
+        # error — at scene scale that swamps the 0.1 spawn offset,
+        # Renderer.cpp:437, causing self-intersection acne)
         return jax.lax.dot_general(
             w,
             world.edge_pluecker[e],
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # (n, T)
 
@@ -151,6 +162,7 @@ def _trace_chunk(world: WorldTriangles, ro, rd_n):
         ro,
         world.plane_n.T,
         dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )  # (n, T)
     t = (world.plane_d[None, :] - o_dot_n) * inv_det

@@ -1,0 +1,185 @@
+"""Fused Pallas traversal kernel.
+
+The XLA version of the MXU engine (``ops/plucker.py``) materializes the
+(rays x triangles) side/products in HBM between the matmul and the
+reduction — hundreds of MB of traffic per bounce.  This kernel fuses the
+whole nearest-hit reduction on-chip: per (ray-tile, triangle-block) grid
+step it computes the three Pluecker side matmuls and the plane-distance
+matmul into VMEM, applies the accept logic, and folds the block's min/argmin
+into a running best kept in VMEM scratch that persists across the
+triangle-block grid dimension.  HBM traffic drops to the inputs themselves
+(rays once per tile, triangles once per block revisit) plus R floats of
+output per tile — the reference's entire ``computeRaySceneIntersectionKernel``
+loop nest (Renderer.cpp:363-409) as one systolic-array sweep.
+
+Numerical semantics are identical to ``ops/plucker._trace_chunk``:
+epsilon-guarded barycentric/t tests (Renderer.cpp:188-201), first-wins tie
+break in triangle order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants
+from ..ops.intersect import HitRecord
+from ..ops.math import normalize
+from ..scene.types import WorldTriangles
+
+F_MAX = constants.FLOAT_MAX
+EPS = constants.EPSILON
+
+RAY_TILE = 512
+TRI_BLOCK = 1024
+
+
+def _nearest_hit_kernel(
+    w_ref,  # (R, 8)   [dir, orig x dir, 0, 0]
+    wo_ref,  # (R, 8)  [orig, -1, 0...]
+    e_ref,  # (3, 8, TB) edge Pluecker block
+    p_ref,  # (8, TB)  plane block
+    t_out,  # (R, 1)
+    idx_out,  # (R, 1) i32
+    best_t,  # scratch (R, 1)
+    best_idx,  # scratch (R, 1) i32
+):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_t[:] = jnp.full_like(best_t, F_MAX)
+        best_idx[:] = jnp.full_like(best_idx, -1)
+
+    w = w_ref[:]
+    # HIGHEST: full-precision f32 MXU passes — the default single-pass bf16
+    # error (~3e-3 rel) exceeds the 0.1 spawn offset at scene scale
+    dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s_ab = dot(w, e_ref[0])  # (R, TB)
+    s_bc = dot(w, e_ref[1])
+    s_ca = dot(w, e_ref[2])
+    num = dot(wo_ref[:], p_ref[:])  # o.n - d
+
+    det = s_ab + s_bc + s_ca
+    parallel = det == 0.0
+    inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+    t = -num * inv_det
+    u = s_ca * inv_det
+    v = s_ab * inv_det
+
+    accept = (
+        ~parallel
+        & (u >= -EPS)
+        & (u <= 1.0 + EPS)
+        & (v >= -EPS)
+        & (u + v <= 1.0 + EPS)
+        & (t >= -EPS)
+    )
+    t_m = jnp.where(accept, t, F_MAX)
+
+    blk_min = jnp.min(t_m, axis=1, keepdims=True)  # (R, 1)
+    blk_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None] + j * t_m.shape[1]
+
+    improve = blk_min < best_t[:]
+    best_idx[:] = jnp.where(improve, blk_arg, best_idx[:])
+    best_t[:] = jnp.where(improve, blk_min, best_t[:])
+
+    @pl.when(j == nj - 1)
+    def _():
+        t_out[:] = best_t[:]
+        idx_out[:] = best_idx[:]
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def nearest_hit(
+    w: jax.Array,  # (N, 8)
+    wo: jax.Array,  # (N, 8)
+    edge_mat: jax.Array,  # (3, 8, T)
+    plane_mat: jax.Array,  # (8, T)
+    ray_tile: int = RAY_TILE,
+    tri_block: int = TRI_BLOCK,
+):
+    """Returns (t (N,), idx (N,)) nearest accepted triangle per ray."""
+    n = w.shape[0]
+    t_tris = plane_mat.shape[1]
+    assert n % ray_tile == 0, (n, ray_tile)
+    # largest lane-aligned divisor of T up to the target block size
+    tri_block = min(tri_block, t_tris)
+    while t_tris % tri_block:
+        tri_block -= 128
+    assert tri_block >= 128, (t_tris,)
+    grid = (n // ray_tile, t_tris // tri_block)
+
+    t_out, idx_out = pl.pallas_call(
+        _nearest_hit_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ray_tile, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 8, tri_block), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tri_block), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ray_tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ray_tile, 1), jnp.float32),
+            pltpu.VMEM((ray_tile, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * t_tris * (3 * 8 + 8),
+            bytes_accessed=n * 8 * 4 * 2 + t_tris * 8 * 4 * 4 * grid[0],
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(w, wo, edge_mat, plane_mat)
+    return t_out[:, 0], idx_out[:, 0]
+
+
+def trace_pallas(world: WorldTriangles, ro: jax.Array, rd: jax.Array) -> HitRecord:
+    """Full-scene nearest hit via the fused kernel; same result contract as
+    ``ops.plucker.trace_mxu``."""
+    n = ro.shape[0]
+    rd_n = normalize(rd)
+
+    pad = (-n) % RAY_TILE
+    if pad:
+        ro_p = jnp.pad(ro, ((0, pad), (0, 0)))
+        rd_p = jnp.pad(rd_n, ((0, pad), (0, 0)), constant_values=1.0)
+    else:
+        ro_p, rd_p = ro, rd_n
+
+    m = jnp.cross(ro_p, rd_p)
+    zeros2 = jnp.zeros((ro_p.shape[0], 2), jnp.float32)
+    w = jnp.concatenate([rd_p, m, zeros2], axis=-1)
+    neg1 = jnp.full((ro_p.shape[0], 1), -1.0, jnp.float32)
+    wo = jnp.concatenate([ro_p, neg1, jnp.zeros((ro_p.shape[0], 4), jnp.float32)], axis=-1)
+
+    t, idx = nearest_hit(w, wo, world.edge_mat, world.plane_mat)
+    t = t[:n]
+    idx = jnp.maximum(idx[:n], 0)
+
+    hit = t < F_MAX
+    return HitRecord(
+        t=t,
+        normal=jnp.where(hit[:, None], world.shade_normal[idx], 0.0),
+        mat_type=jnp.where(hit, world.mat_type[idx], 0),
+        mat_color=jnp.where(hit[:, None], world.mat_color[idx], 0.0),
+    )

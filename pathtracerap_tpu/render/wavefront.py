@@ -39,9 +39,13 @@ DEFAULT_TILE = 8192
 def _make_tracer(scene: SceneDevice, engine: str, world=None):
     if engine == "parity":
         return lambda ro, rd: trace_parity(scene, ro, rd)
-    if engine == "mxu":
+    if engine in ("mxu", "pallas"):
         if world is None:
             world = bake_world_triangles(scene)
+        if engine == "pallas":
+            from ..pallas.trace import trace_pallas
+
+            return lambda ro, rd: trace_pallas(world, ro, rd)
         return lambda ro, rd: trace_mxu(world, ro, rd)
     raise ValueError(f"unknown engine: {engine!r}")
 
@@ -204,20 +208,51 @@ class Renderer:
         self.config = config
         # bake once per scene; jitted so it runs on-device
         self.world = (
-            jax.jit(bake_world_triangles)(scene) if config.engine == "mxu" else None
+            jax.jit(bake_world_triangles)(scene)
+            if config.engine in ("mxu", "pallas")
+            else None
         )
 
-    def render(self, seed: Optional[int] = None) -> jnp.ndarray:
+    def render(
+        self,
+        seed: Optional[int] = None,
+        checkpoint_path: Optional[str] = None,
+        metrics=None,
+    ) -> jnp.ndarray:
         """Full render; returns the (H, W, 3) float image in [0, 1]
-        (accumulated contributions / n_samples, pre-quantization)."""
+        (accumulated contributions / n_samples, pre-quantization).
+
+        With ``checkpoint_path``, the accumulation state is saved after
+        every sample chunk (atomic writes) and an interrupted render
+        resumes exactly — the stateless per-(sample, ray, depth) RNG makes
+        resumed samples identical to an unbroken run.
+        """
+        import time as _time
+
         cfg = self.config
-        key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        seed = cfg.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
         w, h = cfg.resolution
         chunk = cfg.samples_per_chunk or cfg.samples_per_pixel
         accum = None
         done = 0
+
+        if checkpoint_path:
+            from ..utils.checkpoint import load_checkpoint
+
+            ck = load_checkpoint(checkpoint_path)
+            if ck is not None:
+                if ck.config != cfg.to_dict() or ck.seed != seed:
+                    raise ValueError(
+                        f"checkpoint {checkpoint_path} was written by a "
+                        "different render config/seed; refusing to resume"
+                    )
+                accum = jnp.asarray(ck.accum)
+                done = ck.samples_done
+
         while done < cfg.samples_per_pixel:
             step = min(chunk, cfg.samples_per_pixel - done)
+            t0 = _time.perf_counter()
             accum = render_accumulate(
                 self.scene,
                 key,
@@ -232,6 +267,22 @@ class Renderer:
                 world=self.world,
             )
             done += step
+            if checkpoint_path or metrics:
+                accum_host = jax.device_get(accum)  # also syncs for timing
+                if metrics:
+                    metrics.chunk_done(step, _time.perf_counter() - t0)
+                if checkpoint_path:
+                    from ..utils.checkpoint import RenderCheckpoint, save_checkpoint
+
+                    save_checkpoint(
+                        checkpoint_path,
+                        RenderCheckpoint(
+                            accum=accum_host,
+                            samples_done=done,
+                            seed=seed,
+                            config=cfg.to_dict(),
+                        ),
+                    )
         image = accum.reshape(h, w, 3) / cfg.samples_per_pixel
         return image
 

@@ -47,6 +47,24 @@ def rotation_y_matrix(degrees: float) -> np.ndarray:
     return m
 
 
+def rotation_x_matrix(degrees: float) -> np.ndarray:
+    r = np.deg2rad(degrees)
+    c, s = np.cos(r), np.sin(r)
+    m = np.eye(4, dtype=np.float64)
+    m[1, 1], m[1, 2] = c, -s
+    m[2, 1], m[2, 2] = s, c
+    return m
+
+
+def rotation_z_matrix(degrees: float) -> np.ndarray:
+    r = np.deg2rad(degrees)
+    c, s = np.cos(r), np.sin(r)
+    m = np.eye(4, dtype=np.float64)
+    m[0, 0], m[0, 1] = c, -s
+    m[1, 0], m[1, 1] = s, c
+    return m
+
+
 def trs(translate, rotate_y_deg, scale) -> np.ndarray:
     """glm-style ``T * R * S`` (scale applied first; ``Scene.cpp:38``)."""
     return translation_matrix(translate) @ rotation_y_matrix(rotate_y_deg) @ scale_matrix(scale)
@@ -302,6 +320,46 @@ def make_box_mesh(size=(1.0, 1.0, 1.0), inward: bool = False) -> ObjMesh:
     return ObjMesh(
         positions=pos,
         normals=nrm,
+        uvs=np.zeros((pos.shape[0], 2), np.float32),
+        triangles=tris,
+        bbox_min=pos.min(axis=0),
+        bbox_max=pos.max(axis=0),
+    )
+
+
+def make_sphere_mesh(radius: float = 1.0, subdiv: int = 16) -> ObjMesh:
+    """UV-sphere triangle mesh centered at origin with smooth normals.
+
+    Realizes the reference's aspirational SPHERE entity
+    (``Primitive.h:113`` declares the enum value; ``Config.txt:1-8``
+    sketches the config block; neither is implemented there)."""
+    n_lat = max(3, subdiv)
+    n_lon = max(3, 2 * subdiv)
+    theta = np.linspace(0.0, np.pi, n_lat + 1)
+    phi = np.linspace(0.0, 2 * np.pi, n_lon, endpoint=False)
+    tt, pp = np.meshgrid(theta, phi, indexing="ij")
+    x = np.sin(tt) * np.cos(pp)
+    y = np.cos(tt)
+    z = np.sin(tt) * np.sin(pp)
+    pts = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+
+    def vid(i, j):
+        return i * n_lon + (j % n_lon)
+
+    tris = []
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a, b = vid(i, j), vid(i, j + 1)
+            c, d = vid(i + 1, j), vid(i + 1, j + 1)
+            if i > 0:
+                tris.append((a, b, c))
+            if i < n_lat - 1:
+                tris.append((b, d, c))
+    tris = np.asarray(tris, np.int32)
+    pos = pts * np.float32(radius)
+    return ObjMesh(
+        positions=pos,
+        normals=pts.copy(),  # unit sphere normals
         uvs=np.zeros((pos.shape[0], 2), np.float32),
         triangles=tris,
         bbox_min=pos.min(axis=0),

@@ -199,6 +199,8 @@ class WorldTriangles:
     """
 
     edge_pluecker: jax.Array  # (3, 6, T) f32
+    edge_mat: jax.Array  # (3, 8, T) f32 — edge columns padded to 8 rows (MXU K)
+    plane_mat: jax.Array  # (8, T) f32 — [n; d; 0...] so [o,-1,0...] @ P = o.n - d
     plane_n: jax.Array  # (T, 3) f32 geometric normal (b-a) x (c-a)
     plane_d: jax.Array  # (T,) f32   dot(n, a)
     shade_normal: jax.Array  # (T, 3) f32 normalized averaged vertex normal (world)
