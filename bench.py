@@ -30,12 +30,18 @@ def main() -> None:
     spp = 8
     max_bounces = 5
 
+    # absorb the (highly variable) first-compile-in-process service cost on
+    # a trivial program so the real compiles below are predictable
+    import jax.numpy as jnp
+
+    jax.jit(lambda x: x * 2.0)(jnp.ones((8,))).block_until_ready()
+
     scene = build_reference_scene().to_device()
     cfg = RenderConfig(
         resolution=resolution,
         samples_per_pixel=spp,
         max_bounces=max_bounces,
-        engine="mxu",
+        engine="pallas",
     )
     r = Renderer(scene, cfg)
 

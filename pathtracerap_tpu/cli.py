@@ -165,6 +165,16 @@ def cmd_invert(args):
     return 0
 
 
+def cmd_visualize(args):
+    from .render.debug_viz import write_aov_bmps
+
+    scene, cfg = _load_scene(args)
+    paths = write_aov_bmps(scene.to_device(), cfg, args.out_dir)
+    for name, p in sorted(paths.items()):
+        print(f"{name}: {p}")
+    return 0
+
+
 def cmd_info(args):
     scene, cfg = _load_scene(args)
     stats = {
@@ -209,6 +219,12 @@ def main(argv=None) -> int:
     p = sub.add_parser("info", help="print scene statistics")
     _add_common(p)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("visualize",
+                       help="write first-hit AOV + traversal heatmap BMPs")
+    _add_common(p)
+    p.add_argument("--out-dir", default="aovs")
+    p.set_defaults(fn=cmd_visualize)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -169,6 +169,10 @@ def _dda_one_model(scene: SceneDevice, imodel: int, ro_w, rd_w):
         best_n=jnp.zeros((n, 3), jnp.float32),
         is_int=jnp.zeros((n,), bool),
         cache=ivox0,
+        # traversal statistics (the working realization of the reference's
+        # unimplemented visualizer hooks, Renderer.h:36-43 / Renderer.cpp:316-319)
+        steps=jnp.zeros((n,), jnp.int32),
+        tri_tests=jnp.zeros((n,), jnp.int32),
     )
 
     def cond(s):
@@ -247,24 +251,37 @@ def _dda_one_model(scene: SceneDevice, imodel: int, ro_w, rd_w):
             best_n=best_n,
             is_int=is_int,
             cache=cache,
+            steps=s["steps"] + active.astype(jnp.int32),
+            tri_tests=s["tri_tests"] + jnp.sum(tri_valid, axis=1).astype(jnp.int32),
         )
 
     out_state = jax.lax.while_loop(cond, body, state)
-    return out_state["is_int"], out_state["best_t"], out_state["best_n"], ro, rd
+    stats = dict(steps=out_state["steps"], tri_tests=out_state["tri_tests"])
+    return out_state["is_int"], out_state["best_t"], out_state["best_n"], ro, rd, stats
 
 
-def trace_parity(scene: SceneDevice, ro_w: jax.Array, rd_w: jax.Array) -> HitRecord:
+def trace_parity(
+    scene: SceneDevice, ro_w: jax.Array, rd_w: jax.Array, return_stats: bool = False
+):
     """Full-scene intersection for a wavefront of world-space rays.
 
     Reproduces ``computeRaySceneIntersectionKernel`` (``Renderer.cpp:363-409``):
     linear loop over models, per-model grid traversal, world-distance
-    min-reduction in model order.
+    min-reduction in model order.  With ``return_stats`` also returns
+    per-ray DDA step and triangle-test counters (the traversal-inspection
+    data the reference's unimplemented visualizer was meant to record).
     """
     n = ro_w.shape[0]
     best = HitRecord.miss(n)
+    total_steps = jnp.zeros((n,), jnp.int32)
+    total_tests = jnp.zeros((n,), jnp.int32)
 
     for imodel in range(scene.num_models):
-        is_int, t_model, n_model, ro_m, rd_m = _dda_one_model(scene, imodel, ro_w, rd_w)
+        is_int, t_model, n_model, ro_m, rd_m, stats = _dda_one_model(
+            scene, imodel, ro_w, rd_w
+        )
+        total_steps = total_steps + stats["steps"]
+        total_tests = total_tests + stats["tri_tests"]
 
         m2w = scene.model_to_world[imodel]
         model_pt = ro_m + rd_m * t_model[:, None]
@@ -281,4 +298,6 @@ def trace_parity(scene: SceneDevice, ro_w: jax.Array, rd_w: jax.Array) -> HitRec
             mat_color=jnp.where(closer[:, None], scene.mat_color[imodel], best.mat_color),
         )
 
+    if return_stats:
+        return best, dict(steps=total_steps, tri_tests=total_tests)
     return best

@@ -55,14 +55,17 @@ def bake_world_triangles(scene: SceneDevice, pad_to: int = 128) -> WorldTriangle
     """
     src = scene.world_tri_src
     mdl = scene.world_tri_model
-    vidx = scene.tri_vidx[src]  # (Tw, 3)
+    # model-alignment padding entries carry src == -1: their vertices are
+    # zeroed (degenerate triangle, det always 0 => never accepted)
+    src_valid = (src >= 0).astype(jnp.float32)[:, None]
+    vidx = scene.tri_vidx[jnp.maximum(src, 0)]  # (Tw, 3)
 
     m2w = scene.model_to_world[mdl]  # (Tw, 4, 4)
     rot = m2w[:, :3, :3]
     trans = m2w[:, :3, 3]
 
     def xform(p):  # (Tw, 3) model-space points
-        return jnp.einsum("tij,tj->ti", rot, p) + trans
+        return (jnp.einsum("tij,tj->ti", rot, p) + trans) * src_valid
 
     a = xform(scene.vertex_pos[vidx[:, 0]])
     b = xform(scene.vertex_pos[vidx[:, 1]])
@@ -87,7 +90,8 @@ def bake_world_triangles(scene: SceneDevice, pad_to: int = 128) -> WorldTriangle
         + scene.vertex_nrm[vidx[:, 1]]
         + scene.vertex_nrm[vidx[:, 2]]
     ) * (1.0 / 3.0)
-    shade_n = normalize(jnp.einsum("tij,tj->ti", inv_t[mdl], navg))
+    navg = jnp.where(src_valid > 0, navg, jnp.array([1.0, 0.0, 0.0]))
+    shade_n = normalize(jnp.einsum("tij,tj->ti", inv_t[mdl], navg), eps=1e-30)
 
     mat_type = scene.mat_type[mdl]
     mat_color = scene.mat_color[mdl]
@@ -112,16 +116,42 @@ def bake_world_triangles(scene: SceneDevice, pad_to: int = 128) -> WorldTriangle
         [padt(n).T, padt(d_plane)[None, :], jnp.zeros((4, t_pad), jnp.float32)], axis=0
     )  # (8, T)
 
+    # per-128-triangle cluster AABBs for in-kernel block culling; padding
+    # triangles contribute an inverted AABB (min=+FMAX, max=-FMAX) that no
+    # slab test can hit, so pure-padding clusters are always skipped
+    tri_min = jnp.where(src_valid > 0, jnp.minimum(jnp.minimum(a, b), c), F_MAX)
+    tri_max = jnp.where(src_valid > 0, jnp.maximum(jnp.maximum(a, b), c), -F_MAX)
+    tri_min = jnp.concatenate(
+        [tri_min, jnp.full((pad, 3), F_MAX, jnp.float32)], axis=0
+    ).reshape(-1, 128, 3)
+    tri_max = jnp.concatenate(
+        [tri_max, jnp.full((pad, 3), -F_MAX, jnp.float32)], axis=0
+    ).reshape(-1, 128, 3)
+    cl_min = tri_min.min(axis=1)  # (T/128, 3)
+    cl_max = tri_max.max(axis=1)
+    # Inflate spatially: the EPSILON-slack barycentric accept (u, v down to
+    # -EPS, Renderer.cpp:193-197) admits hit points up to ~2*EPS*edge_length
+    # OUTSIDE the triangle — and at grazing angles no t-space margin can
+    # cover a spatial miss, so the slack must be baked into the boxes.
+    diag = jnp.linalg.norm(jnp.maximum(cl_max - cl_min, 0.0), axis=-1, keepdims=True)
+    pad_sp = 2.0 * EPS * diag + 0.01
+    cl_min = cl_min - pad_sp
+    cl_max = cl_max + pad_sp
+    cluster_aabb = jnp.concatenate(
+        [cl_min.T, cl_max.T, jnp.zeros((2, cl_min.shape[0]), jnp.float32)], axis=0
+    )  # (8, T/128)
+
     return WorldTriangles(
         edge_pluecker=edge_pluecker,
         edge_mat=edge_mat,
         plane_mat=plane_mat,
+        cluster_aabb=cluster_aabb,
         plane_n=padt(n),
         plane_d=padt(d_plane),
         shade_normal=padt(shade_n),
         mat_type=padt(mat_type).astype(jnp.int32),
         mat_color=padt(mat_color),
-        valid=jnp.pad(jnp.ones(tw, jnp.float32), (0, pad)),
+        valid=jnp.pad(src_valid[:, 0], (0, pad)),
         v0=padt(a),
         e1=padt(b - a),
         e2=padt(c - a),

@@ -40,13 +40,18 @@ TRI_BLOCK = 1024
 
 def _nearest_hit_kernel(
     w_ref,  # (R, 8)   [dir, orig x dir, 0, 0]
-    wo_ref,  # (R, 8)  [orig, -1, 0...]
+    wo_ref,  # (R, 8)  [orig, -1, alive, 0...]
     e_ref,  # (3, 8, TB) edge Pluecker block
     p_ref,  # (8, TB)  plane block
+    aabb_ref,  # (8, C_total) FULL cluster AABB table (tiny; lane rules
+    #            forbid narrow blocked slices, so the block's clusters are
+    #            selected by masking below)
     t_out,  # (R, 1)
     idx_out,  # (R, 1) i32
     best_t,  # scratch (R, 1)
     best_idx,  # scratch (R, 1) i32
+    *,
+    cull: bool,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -56,42 +61,88 @@ def _nearest_hit_kernel(
         best_t[:] = jnp.full_like(best_t, F_MAX)
         best_idx[:] = jnp.full_like(best_idx, -1)
 
-    w = w_ref[:]
-    # HIGHEST: full-precision f32 MXU passes — the default single-pass bf16
-    # error (~3e-3 rel) exceeds the 0.1 spawn offset at scene scale
-    dot = functools.partial(
-        jnp.dot,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    s_ab = dot(w, e_ref[0])  # (R, TB)
-    s_bc = dot(w, e_ref[1])
-    s_ca = dot(w, e_ref[2])
-    num = dot(wo_ref[:], p_ref[:])  # o.n - d
+    if cull:
+        # ---- block culling: slab-test every ray against the union AABB of
+        # this block's clusters; skip the matmuls when no live ray can
+        # improve its current best inside this box (the wavefront analog of
+        # the per-model AABB gate, Renderer.cpp:252)
+        aabb = aabb_ref[:]  # (8, C_total)
+        c_total = aabb.shape[1]
+        cpb = e_ref.shape[2] // 128  # clusters per triangle block
+        col = jax.lax.broadcasted_iota(jnp.int32, (3, c_total), 1)
+        mine = (col // cpb) == j
+        bb_min = jnp.min(jnp.where(mine, aabb[0:3, :], F_MAX), axis=1)  # (3,)
+        bb_max = jnp.max(jnp.where(mine, aabb[3:6, :], -F_MAX), axis=1)
+        o = wo_ref[:, 0:3]  # (R, 3)
+        dirs = w_ref[:, 0:3]
+        alive = wo_ref[:, 4:5] > 0.0  # (R, 1)
+        # NaN/inf-free reciprocal: clamp magnitude away from denormals so
+        # 0 * inf can never poison the slab test into a false skip
+        small = jnp.abs(dirs) < 1e-12
+        dirs_safe = jnp.where(small, jnp.where(dirs < 0.0, -1e-12, 1e-12), dirs)
+        inv_d = 1.0 / dirs_safe
+        lo = (bb_min[None, :] - o) * inv_d
+        hi = (bb_max[None, :] - o) * inv_d
+        tmin = jnp.max(jnp.minimum(lo, hi), axis=1, keepdims=True)  # (R, 1)
+        tmax = jnp.min(jnp.maximum(lo, hi), axis=1, keepdims=True)
+        # conservative margins: a skip must be provably unable to beat the
+        # running best (tiny-negative-t hits are accepted up to -EPS, and
+        # slab arithmetic carries fp error at scene scale)
+        margin = 1.0
+        box_hit = (
+            (tmax >= -margin)
+            & (tmin <= tmax + margin)
+            & (tmin - margin <= best_t[:])
+            & alive
+        )
+        run_block = jnp.any(box_hit)
+    else:
+        run_block = None
 
-    det = s_ab + s_bc + s_ca
-    parallel = det == 0.0
-    inv_det = 1.0 / jnp.where(parallel, 1.0, det)
-    t = -num * inv_det
-    u = s_ca * inv_det
-    v = s_ab * inv_det
+    def compute_block():
+        w = w_ref[:]
+        # HIGHEST: full-precision f32 MXU passes — the default single-pass
+        # bf16 error (~3e-3 rel) exceeds the 0.1 spawn offset at scene scale
+        dot = functools.partial(
+            jnp.dot,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        s_ab = dot(w, e_ref[0])  # (R, TB)
+        s_bc = dot(w, e_ref[1])
+        s_ca = dot(w, e_ref[2])
+        # wo row = [o, -1, alive, 0, 0, 0]; plane rows 4-7 are zero, so the
+        # alive flag riding in slot 4 does not affect the product
+        num = dot(wo_ref[:], p_ref[:])  # o.n - d
 
-    accept = (
-        ~parallel
-        & (u >= -EPS)
-        & (u <= 1.0 + EPS)
-        & (v >= -EPS)
-        & (u + v <= 1.0 + EPS)
-        & (t >= -EPS)
-    )
-    t_m = jnp.where(accept, t, F_MAX)
+        det = s_ab + s_bc + s_ca
+        parallel = det == 0.0
+        inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+        t = -num * inv_det
+        u = s_ca * inv_det
+        v = s_ab * inv_det
 
-    blk_min = jnp.min(t_m, axis=1, keepdims=True)  # (R, 1)
-    blk_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None] + j * t_m.shape[1]
+        accept = (
+            ~parallel
+            & (u >= -EPS)
+            & (u <= 1.0 + EPS)
+            & (v >= -EPS)
+            & (u + v <= 1.0 + EPS)
+            & (t >= -EPS)
+        )
+        t_m = jnp.where(accept, t, F_MAX)
 
-    improve = blk_min < best_t[:]
-    best_idx[:] = jnp.where(improve, blk_arg, best_idx[:])
-    best_t[:] = jnp.where(improve, blk_min, best_t[:])
+        blk_min = jnp.min(t_m, axis=1, keepdims=True)  # (R, 1)
+        blk_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None] + j * t_m.shape[1]
+
+        improve = blk_min < best_t[:]
+        best_idx[:] = jnp.where(improve, blk_arg, best_idx[:])
+        best_t[:] = jnp.where(improve, blk_min, best_t[:])
+
+    if cull:
+        pl.when(run_block)(compute_block)
+    else:
+        compute_block()
 
     @pl.when(j == nj - 1)
     def _():
@@ -105,11 +156,13 @@ def _interpret() -> bool:
 
 def nearest_hit(
     w: jax.Array,  # (N, 8)
-    wo: jax.Array,  # (N, 8)
+    wo: jax.Array,  # (N, 8) [o, -1, alive, 0...]
     edge_mat: jax.Array,  # (3, 8, T)
     plane_mat: jax.Array,  # (8, T)
+    cluster_aabb: jax.Array,  # (8, T/128)
     ray_tile: int = RAY_TILE,
     tri_block: int = TRI_BLOCK,
+    cull: bool = True,
 ):
     """Returns (t (N,), idx (N,)) nearest accepted triangle per ray."""
     n = w.shape[0]
@@ -123,13 +176,16 @@ def nearest_hit(
     grid = (n // ray_tile, t_tris // tri_block)
 
     t_out, idx_out = pl.pallas_call(
-        _nearest_hit_kernel,
+        functools.partial(_nearest_hit_kernel, cull=cull),
         grid=grid,
         in_specs=[
             pl.BlockSpec((ray_tile, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ray_tile, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 8, tri_block), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tri_block), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, cluster_aabb.shape[1]), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[
             pl.BlockSpec((ray_tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -149,30 +205,51 @@ def nearest_hit(
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(w, wo, edge_mat, plane_mat)
+    )(w, wo, edge_mat, plane_mat, cluster_aabb)
     return t_out[:, 0], idx_out[:, 0]
 
 
-def trace_pallas(world: WorldTriangles, ro: jax.Array, rd: jax.Array) -> HitRecord:
+def trace_pallas(
+    world: WorldTriangles,
+    ro: jax.Array,
+    rd: jax.Array,
+    alive=None,
+    ray_tile: int = RAY_TILE,
+    tri_block: int = TRI_BLOCK,
+    cull: bool = True,
+) -> HitRecord:
     """Full-scene nearest hit via the fused kernel; same result contract as
-    ``ops.plucker.trace_mxu``."""
+    ``ops.plucker.trace_mxu``.  ``alive`` (N,) bool lets the kernel skip
+    triangle blocks (and whole dead tiles) for terminated lanes — the
+    wavefront analog of the reference's stream compaction shrinking its
+    launch sizes (Renderer.cpp:628-634)."""
     n = ro.shape[0]
     rd_n = normalize(rd)
+    if alive is None:
+        alive_f = jnp.ones((n, 1), jnp.float32)
+    else:
+        alive_f = alive.astype(jnp.float32)[:, None]
 
-    pad = (-n) % RAY_TILE
+    pad = (-n) % ray_tile
     if pad:
         ro_p = jnp.pad(ro, ((0, pad), (0, 0)))
         rd_p = jnp.pad(rd_n, ((0, pad), (0, 0)), constant_values=1.0)
+        alive_p = jnp.pad(alive_f, ((0, pad), (0, 0)))
     else:
-        ro_p, rd_p = ro, rd_n
+        ro_p, rd_p, alive_p = ro, rd_n, alive_f
 
     m = jnp.cross(ro_p, rd_p)
     zeros2 = jnp.zeros((ro_p.shape[0], 2), jnp.float32)
     w = jnp.concatenate([rd_p, m, zeros2], axis=-1)
     neg1 = jnp.full((ro_p.shape[0], 1), -1.0, jnp.float32)
-    wo = jnp.concatenate([ro_p, neg1, jnp.zeros((ro_p.shape[0], 4), jnp.float32)], axis=-1)
+    wo = jnp.concatenate(
+        [ro_p, neg1, alive_p, jnp.zeros((ro_p.shape[0], 3), jnp.float32)], axis=-1
+    )
 
-    t, idx = nearest_hit(w, wo, world.edge_mat, world.plane_mat)
+    t, idx = nearest_hit(
+        w, wo, world.edge_mat, world.plane_mat, world.cluster_aabb,
+        ray_tile=ray_tile, tri_block=tri_block, cull=cull,
+    )
     t = t[:n]
     idx = jnp.maximum(idx[:n], 0)
 

@@ -37,16 +37,18 @@ DEFAULT_TILE = 8192
 
 
 def _make_tracer(scene: SceneDevice, engine: str, world=None):
+    """Tracers take (ro, rd, alive=None); engines that can exploit lane
+    liveness (pallas block skipping) use it, the rest ignore it."""
     if engine == "parity":
-        return lambda ro, rd: trace_parity(scene, ro, rd)
+        return lambda ro, rd, alive=None: trace_parity(scene, ro, rd)
     if engine in ("mxu", "pallas"):
         if world is None:
             world = bake_world_triangles(scene)
         if engine == "pallas":
             from ..pallas.trace import trace_pallas
 
-            return lambda ro, rd: trace_pallas(world, ro, rd)
-        return lambda ro, rd: trace_mxu(world, ro, rd)
+            return lambda ro, rd, alive=None: trace_pallas(world, ro, rd, alive=alive)
+        return lambda ro, rd, alive=None: trace_mxu(world, ro, rd)
     raise ValueError(f"unknown engine: {engine!r}")
 
 
@@ -70,7 +72,10 @@ def render_sample(
     state = RayState.primary(ro, rd, max_bounces)
 
     for b in range(max_bounces):
-        hits = tracer(state.orig, state.dir) if (b > 0 or primary_hits is None) else primary_hits
+        if b == 0 and primary_hits is not None:
+            hits = primary_hits
+        else:
+            hits = tracer(state.orig, state.dir, alive=state.remaining > 0)
         depth = max_bounces - b  # == remaining_bounces of live lanes (Renderer.cpp:435)
         u = tile_uniforms(key, sample_index, depth, tile_index, n)
         state = shade(state, hits, u, parity=parity)

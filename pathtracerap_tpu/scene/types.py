@@ -108,20 +108,24 @@ class SceneHost:
     def num_triangles(self) -> int:
         return int(self.tri_vidx.shape[0])
 
-    def world_instance_maps(self):
+    def world_instance_maps(self, align: int = 128):
         """Static index maps enumerating every (model, mesh triangle) pair.
 
-        ``world_tri_src[k]`` is the global triangle index and
-        ``world_tri_model[k]`` the model instance for world triangle ``k``.
-        This flattening is what lets the MXU engine treat the whole scene as
-        one world-space triangle soup.
+        ``world_tri_src[k]`` is the global triangle index (−1 for padding)
+        and ``world_tri_model[k]`` the model instance for world triangle
+        ``k``.  Each model's range is padded to a multiple of ``align`` so
+        the MXU engine's 128-triangle culling clusters never span two model
+        instances (cluster AABBs stay tight).
         """
         srcs, mdls = [], []
         for i in range(self.num_models):
             mi = int(self.model_mesh[i])
             ts, te = int(self.mesh_tri_start[mi]), int(self.mesh_tri_end[mi])
+            n = te - ts
+            pad = (-n) % align
             srcs.append(np.arange(ts, te, dtype=np.int32))
-            mdls.append(np.full(te - ts, i, dtype=np.int32))
+            srcs.append(np.full(pad, -1, dtype=np.int32))
+            mdls.append(np.full(n + pad, i, dtype=np.int32))
         return np.concatenate(srcs), np.concatenate(mdls)
 
     def to_device(self) -> "SceneDevice":
@@ -201,6 +205,8 @@ class WorldTriangles:
     edge_pluecker: jax.Array  # (3, 6, T) f32
     edge_mat: jax.Array  # (3, 8, T) f32 — edge columns padded to 8 rows (MXU K)
     plane_mat: jax.Array  # (8, T) f32 — [n; d; 0...] so [o,-1,0...] @ P = o.n - d
+    cluster_aabb: jax.Array  # (8, T/128) f32 — per-128-tri cluster [min;max;0,0]
+    # (padding clusters get an inverted AABB that every slab test misses)
     plane_n: jax.Array  # (T, 3) f32 geometric normal (b-a) x (c-a)
     plane_d: jax.Array  # (T,) f32   dot(n, a)
     shade_normal: jax.Array  # (T, 3) f32 normalized averaged vertex normal (world)
