@@ -45,16 +45,29 @@ def _header(width: int, height: int, image_size: int) -> bytes:
     )
 
 
-def write_bmp(path: str, image: np.ndarray, parity: bool = True) -> None:
+def write_bmp(
+    path: str, image: np.ndarray, parity: bool = True, backend: str = "auto"
+) -> None:
     """Write an (H, W, 3) uint8 image, row 0 = bottom row.
 
     The caller is expected to have already applied the reference's
     quantization (``color / ITER * 255`` truncated to byte,
     ``Renderer.cpp:48-50``); see :func:`quantize_image`.
+
+    ``backend``: "auto" prefers the native writer (native/ptap_native.cc),
+    byte-identical to this one; "python" forces the pure-Python path.
     """
     image = np.asarray(image)
     if image.dtype != np.uint8 or image.ndim != 3 or image.shape[2] != 3:
         raise ValueError("write_bmp expects (H, W, 3) uint8")
+    if backend != "python":
+        from .. import native as _native
+
+        if _native.available():
+            _native.write_bmp_native(path, image, parity)
+            return
+        if backend == "native":
+            raise RuntimeError("native BMP backend requested but unavailable")
     h, w = image.shape[:2]
     if parity:
         rows = image.reshape(h, w * 3).tobytes()  # RGB, unpadded (quirk)

@@ -47,12 +47,34 @@ class ObjMesh:
         return int(self.triangles.shape[0])
 
 
-def load_obj(path: str, scale: float = constants.BASE_MODEL_SCALE) -> ObjMesh:
+def load_obj(
+    path: str,
+    scale: float = constants.BASE_MODEL_SCALE,
+    backend: str = "auto",
+) -> ObjMesh:
     """Parse a pre-triangulated OBJ file.
 
     Raises ``ValueError`` on non-triangle faces (the reference asserts,
     ``Scene.cpp:281``).
+
+    ``backend``: "auto" uses the native C++ parser (native/ptap_native.cc)
+    when its shared library is available and falls back to pure Python;
+    "native" requires it; "python" forces the pure-Python path.  Both
+    produce identical arrays (tests/test_native.py).
     """
+    if backend != "python":
+        from .. import native as _native
+
+        if _native.available():
+            pos, nrm, uv, tris, bbmin, bbmax = _native.load_obj_native(
+                path, float(scale)
+            )
+            return ObjMesh(
+                positions=pos, normals=nrm, uvs=uv, triangles=tris,
+                bbox_min=bbmin, bbox_max=bbmax,
+            )
+        if backend == "native":
+            raise RuntimeError("native OBJ backend requested but unavailable")
     raw_v: list = []
     raw_vn: list = []
     raw_vt: list = []

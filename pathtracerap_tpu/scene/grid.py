@@ -36,6 +36,7 @@ def build_uniform_grid(
     bbox_max: np.ndarray,
     dims: tuple = (25, 25, 25),
     tri_index_base: int = 0,
+    backend: str = "auto",
 ) -> UniformGrid:
     """Build one mesh's grid.
 
@@ -47,7 +48,31 @@ def build_uniform_grid(
       tri_index_base: value added to local triangle indices so bucket entries
         are global triangle ids (the reference stores global pool indices,
         ``Scene.cpp:371``).
+      backend: "auto" prefers the native C++ builder (native/ptap_native.cc)
+        and falls back to vectorized numpy; "native" requires it; "python"
+        forces numpy.  Outputs are identical (tests/test_native.py).
     """
+    if backend != "python":
+        from .. import native as _native
+
+        if _native.available():
+            tv = np.asarray(tri_verts, dtype=np.float32)
+            width, starts, counts, indices = _native.build_grid_native(
+                tv.reshape(-1, 9) if tv.ndim == 3 else tv,
+                np.asarray(bbox_min, np.float32),
+                np.asarray(bbox_max, np.float32),
+                dims,
+                tri_index_base,
+            )
+            return UniformGrid(
+                voxel_width=width,
+                voxel_tri_start=starts,
+                voxel_tri_count=counts,
+                tri_indices=indices,
+                dims=dims,
+            )
+        if backend == "native":
+            raise RuntimeError("native grid backend requested but unavailable")
     gx, gy, gz = dims
     n_voxels = gx * gy * gz
     tri_verts = np.asarray(tri_verts, dtype=np.float32)
