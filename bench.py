@@ -25,6 +25,11 @@ def main() -> None:
     from pathtracerap_tpu.config import RenderConfig
     from pathtracerap_tpu.render.wavefront import Renderer
     from pathtracerap_tpu.scene.build import build_reference_scene
+    from pathtracerap_tpu.utils.profiling import enable_compile_cache
+
+    # warm-start compiles across processes; first-ever compile of the fused
+    # traversal kernels through the remote compile tunnel takes minutes
+    enable_compile_cache()
 
     resolution = (1000, 800)
     spp = 8

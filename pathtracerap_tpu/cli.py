@@ -227,6 +227,9 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_visualize)
 
     args = parser.parse_args(argv)
+    from .utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     return args.fn(args)
 
 

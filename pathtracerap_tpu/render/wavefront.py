@@ -71,14 +71,28 @@ def render_sample(
     n = ro.shape[0]
     state = RayState.primary(ro, rd, max_bounces)
 
-    for b in range(max_bounces):
-        if b == 0 and primary_hits is not None:
-            hits = primary_hits
-        else:
-            hits = tracer(state.orig, state.dir, alive=state.remaining > 0)
+    # Bounce 0 outside the loop so the (expensive-to-compile) traversal
+    # kernel appears at most twice in the traced program — once for the
+    # cached/primary trace and once in the fori_loop body — instead of
+    # max_bounces times.  Compile time through the remote TPU compile
+    # tunnel is dominated by per-instance Mosaic kernel compiles, so this
+    # is a ~3x compile-time lever at identical runtime semantics.
+    hits0 = (
+        primary_hits
+        if primary_hits is not None
+        else tracer(state.orig, state.dir, alive=state.remaining > 0)
+    )
+    u0 = tile_uniforms(key, sample_index, max_bounces, tile_index, n)
+    state = shade(state, hits0, u0, parity=parity)
+
+    def bounce_body(b, st):
+        hits = tracer(st.orig, st.dir, alive=st.remaining > 0)
         depth = max_bounces - b  # == remaining_bounces of live lanes (Renderer.cpp:435)
         u = tile_uniforms(key, sample_index, depth, tile_index, n)
-        state = shade(state, hits, u, parity=parity)
+        return shade(st, hits, u, parity=parity)
+
+    if max_bounces > 1:
+        state = jax.lax.fori_loop(1, max_bounces, bounce_body, state)
 
     return gather_contribution(state)
 
