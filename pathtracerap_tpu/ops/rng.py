@@ -48,3 +48,16 @@ def tile_uniforms(key: jax.Array, sample_index, depth, tile_index, tile_n: int) 
 def sample_uniforms(key: jax.Array, sample_index, depth, n_rays: int) -> jax.Array:
     """(n_rays, 4) uniforms for a single-tile wavefront (tile index 0)."""
     return tile_uniforms(key, sample_index, depth, 0, n_rays)
+
+
+def camera_jitter_uniforms(key: jax.Array, sample_index, tile_index, tile_n: int) -> jax.Array:
+    """(tile_n, 2) sub-pixel jitter offsets in [0, 1) for one tile of one
+    sample iteration (quality-mode camera AA; the reference never jitters,
+    ``Renderer.cpp:538-545``).
+
+    Uses depth=0 in the (sample, depth, tile) stream — shading steps consume
+    depths ``max_bounces .. 1`` only, so camera draws never collide with
+    BSDF draws.
+    """
+    k = jax.random.fold_in(bounce_key(key, sample_index, 0), tile_index)
+    return jax.random.uniform(k, (tile_n, 2), dtype=jnp.float32)

@@ -108,17 +108,38 @@ def _render_tile(
     parity: bool,
     sample_offset,
     scene: SceneDevice,
+    jitter_step=None,
 ):
-    """All samples for one ray tile: fori_loop over samples, bounces unrolled."""
-    primary = tracer(ro_t, rd_t)
+    """All samples for one ray tile: fori_loop over samples, bounces unrolled.
+
+    ``jitter_step`` = (pixel step_x, step_y) enables the quality-mode
+    anti-aliasing camera: each sample perturbs the image-plane point by a
+    sub-pixel uniform offset, so the primary-hit hoist (the reference's
+    first-intersection cache, ``Renderer.cpp:594-613``) is disabled — it is
+    only valid for the reference's deterministic jitterless camera.
+    """
+    from ..ops.rng import camera_jitter_uniforms
+
+    primary = tracer(ro_t, rd_t) if jitter_step is None else None
 
     def body(i, acc):
+        s = sample_offset + i
+        if jitter_step is None:
+            rd_s = rd_t
+        else:
+            ju = camera_jitter_uniforms(key, s, tile_index, ro_t.shape[0])
+            # rd = pix - eye (Renderer.cpp:548); moving pix inside the pixel
+            # footprint is a pure offset on the plane's (x, y) axes
+            rd_s = rd_t + jnp.stack(
+                [ju[:, 0] * jitter_step[0], ju[:, 1] * jitter_step[1],
+                 jnp.zeros_like(ju[:, 0])], axis=-1,
+            )
         contrib = render_sample(
             scene,
             ro_t,
-            rd_t,
+            rd_s,
             key,
-            sample_offset + i,
+            s,
             max_bounces,
             parity=parity,
             primary_hits=primary,
@@ -191,14 +212,19 @@ def render_accumulate(
     optional pre-baked WorldTriangles (bake once per scene, outside jit — a
     fused in-jit bake crashes the TPU fusion pass and recompiles per call).
     """
-    if camera.jitter:
-        raise NotImplementedError(
-            "jittered primary rays arrive with the quality-mode camera; "
-            "parity mode is jitterless like the reference (Renderer.cpp:538-545)"
-        )
     ro, rd = generate_rays(camera, resolution)
     tracer = _make_tracer(scene, engine, world=world)
     n = ro.shape[0]
+
+    # quality-mode AA: per-sample sub-pixel jitter on the image plane; the
+    # parity camera is jitterless like the reference (Renderer.cpp:538-545)
+    jitter_step = None
+    if camera.jitter:
+        w_res, h_res = resolution
+        jitter_step = (
+            (camera.plane_x[1] - camera.plane_x[0]) / w_res,
+            (camera.plane_y[1] - camera.plane_y[0]) / h_res,
+        )
 
     render_tile = functools.partial(
         _render_tile,
@@ -209,6 +235,7 @@ def render_accumulate(
         parity=parity,
         sample_offset=sample_offset,
         scene=scene,
+        jitter_step=jitter_step,
     )
 
     acc = render_ray_array(render_tile, ro, rd, tile_size)

@@ -14,7 +14,6 @@ import contextlib
 import jax
 
 
-@contextlib.contextmanager
 def enable_compile_cache(path: str = "") -> str:
     """Enable JAX's persistent compilation cache.
 
@@ -41,6 +40,7 @@ def enable_compile_cache(path: str = "") -> str:
     return path
 
 
+@contextlib.contextmanager
 def profile_trace(log_dir: str):
     """Capture a device trace for the enclosed block."""
     jax.profiler.start_trace(log_dir)
