@@ -47,11 +47,40 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def bake_world_triangles(scene: SceneDevice, pad_to: int = 128) -> WorldTriangles:
+def _morton3(p: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """30-bit Morton code of points ``p`` (T, 3) within AABB [lo, hi]."""
+    q = jnp.clip(
+        (p - lo) / jnp.maximum(hi - lo, 1e-30) * 1023.0, 0.0, 1023.0
+    ).astype(jnp.int32)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+
+
+def bake_world_triangles(
+    scene: SceneDevice, pad_to: int = 128, blocked_tile: int | None = 512
+) -> WorldTriangles:
     """Bake all model instances into a world-space triangle soup.
 
     Pure jnp so gradients flow back to ``scene.vertex_pos`` /
     ``scene.model_to_world`` / material colors (inverse rendering).
+
+    Triangles are sorted by the Morton code of their world centroid, so
+    contiguous runs are spatially coherent — the culling granularity of the
+    traversal kernels (cluster/block AABBs) tightens from "whichever
+    triangles the models happened to emit adjacently" to real spatial
+    locality.  Hit results are order-independent (nearest-t reduction);
+    only exact-t ties between distinct triangles can resolve differently.
+
+    ``blocked_tile`` additionally emits contiguously-packed per-block
+    operands + block AABBs for the prefetch-list pallas kernel; ``None``
+    skips them (geometry-sharded path, which slices the dense packs).
     """
     src = scene.world_tri_src
     mdl = scene.world_tri_model
@@ -96,7 +125,26 @@ def bake_world_triangles(scene: SceneDevice, pad_to: int = 128) -> WorldTriangle
     mat_type = scene.mat_type[mdl]
     mat_color = scene.mat_color[mdl]
 
+    # Morton-sort by world centroid; model-alignment padding (src == -1)
+    # sorts to the end (its centroid is the origin of a zeroed triangle, so
+    # force it last explicitly).
+    centroid = (a + b + c) * (1.0 / 3.0)
+    scene_lo = jnp.min(jnp.where(src_valid > 0, centroid, F_MAX), axis=0)
+    scene_hi = jnp.max(jnp.where(src_valid > 0, centroid, -F_MAX), axis=0)
+    code = _morton3(centroid, scene_lo, scene_hi)
+    code = jnp.where(src_valid[:, 0] > 0, code, jnp.int32(1 << 30))
+    perm = jnp.argsort(code, stable=True)
+    (a, b, c, e_ab, e_bc, e_ca, n, d_plane, shade_n, mat_type, mat_color,
+     src_valid) = (
+        x[perm]
+        for x in (a, b, c, e_ab, e_bc, e_ca, n, d_plane, shade_n, mat_type,
+                  mat_color, src_valid)
+    )
+
     tw = a.shape[0]
+    if blocked_tile is not None:
+        assert blocked_tile % pad_to == 0, (blocked_tile, pad_to)
+        pad_to = blocked_tile
     t_pad = _round_up(tw, pad_to)
     pad = t_pad - tw
 
@@ -141,6 +189,23 @@ def bake_world_triangles(scene: SceneDevice, pad_to: int = 128) -> WorldTriangle
         [cl_min.T, cl_max.T, jnp.zeros((2, cl_min.shape[0]), jnp.float32)], axis=0
     )  # (8, T/128)
 
+    edge_blocks = plane_blocks = block_aabb = None
+    if blocked_tile is not None:
+        nb = t_pad // blocked_tile
+        edge_blocks = edge_mat.reshape(3, 8, nb, blocked_tile).transpose(2, 0, 1, 3)
+        plane_blocks = plane_mat.reshape(8, nb, blocked_tile).transpose(1, 0, 2)
+        # per-block AABBs with the same EPSILON-slack inflation as the
+        # cluster boxes (pure-padding blocks stay inverted => never hit)
+        b_min = tri_min.reshape(nb, -1, 3).min(axis=1)
+        b_max = tri_max.reshape(nb, -1, 3).max(axis=1)
+        b_diag = jnp.linalg.norm(
+            jnp.maximum(b_max - b_min, 0.0), axis=-1, keepdims=True
+        )
+        b_pad = 2.0 * EPS * b_diag + 0.01
+        block_aabb = jnp.concatenate(
+            [b_min - b_pad, b_max + b_pad, jnp.zeros((nb, 2), jnp.float32)], axis=-1
+        )  # (nb, 8)
+
     return WorldTriangles(
         edge_pluecker=edge_pluecker,
         edge_mat=edge_mat,
@@ -155,6 +220,9 @@ def bake_world_triangles(scene: SceneDevice, pad_to: int = 128) -> WorldTriangle
         v0=padt(a),
         e1=padt(b - a),
         e2=padt(c - a),
+        edge_blocks=edge_blocks,
+        plane_blocks=plane_blocks,
+        block_aabb=block_aabb,
     )
 
 

@@ -154,6 +154,199 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# ---------------------------------------------------------------------------
+# Prefetch-list kernel: per-ray-tile block worklists.
+#
+# The dense kernel sweeps every (ray tile, triangle block) pair; block
+# culling can only veto the matmuls *after* paying the grid step.  Here the
+# (tile -> spatially-relevant blocks) mapping is computed OUTSIDE the kernel
+# (cheap XLA slab tests, ~N*nb ops), sorted front-to-back by the tile's AABB
+# entry distance, padded with -1, and fed to the kernel as scalar-prefetched
+# worklists: the index_map itself reads list[i, j], so irrelevant blocks are
+# never even DMA'd.  Front-to-back order makes the in-kernel per-ray
+# best_t distance test converge fast (the wavefront analog of the
+# reference's DDA early-exit, Renderer.cpp:326-329, but conservative —
+# never changes the returned nearest hit).
+# ---------------------------------------------------------------------------
+
+
+def _nearest_hit_list_kernel(
+    list_ref,  # SMEM (nt, nb) i32 — per-tile block worklist, -1 padded
+    aabb_ref,  # SMEM (nb, 8) f32 — per-block [min xyz, max xyz, 0, 0]
+    w_ref,  # (R, 8)   [dir, orig x dir, 0, 0]
+    wo_ref,  # (R, 8)  [orig, -1, alive, 0...]
+    e_ref,  # (1, 3, 8, TB) edge Pluecker block
+    p_ref,  # (1, 8, TB)  plane block
+    t_out,  # (R, 1)
+    idx_out,  # (R, 1) i32
+    best_t,  # scratch (R, 1)
+    best_idx,  # scratch (R, 1) i32
+    *,
+    tri_block: int,
+    precision,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_t[:] = jnp.full_like(best_t, F_MAX)
+        best_idx[:] = jnp.full_like(best_idx, -1)
+
+    blk = list_ref[i, j]
+
+    def visit():
+        # per-ray recheck with the running best: skip the matmuls when no
+        # live ray can improve inside this block's (inflated) AABB
+        o = wo_ref[:, 0:3]
+        dirs = w_ref[:, 0:3]
+        alive = wo_ref[:, 4:5] > 0.0
+        small = jnp.abs(dirs) < 1e-12
+        dirs_safe = jnp.where(small, jnp.where(dirs < 0.0, -1e-12, 1e-12), dirs)
+        inv_d = 1.0 / dirs_safe
+        bb_min = jnp.stack([aabb_ref[blk, 0], aabb_ref[blk, 1], aabb_ref[blk, 2]])
+        bb_max = jnp.stack([aabb_ref[blk, 3], aabb_ref[blk, 4], aabb_ref[blk, 5]])
+        lo = (bb_min[None, :] - o) * inv_d
+        hi = (bb_max[None, :] - o) * inv_d
+        tmin = jnp.max(jnp.minimum(lo, hi), axis=1, keepdims=True)  # (R, 1)
+        tmax = jnp.min(jnp.maximum(lo, hi), axis=1, keepdims=True)
+        margin = 1.0  # conservative: tiny-negative-t accepts + fp slack
+        box_hit = (
+            (tmax >= -margin)
+            & (tmin <= tmax + margin)
+            & (tmin - margin <= best_t[:])
+            & alive
+        )
+
+        def compute_block():
+            w = w_ref[:]
+            dot = functools.partial(
+                jnp.dot, preferred_element_type=jnp.float32, precision=precision
+            )
+            s_ab = dot(w, e_ref[0, 0])  # (R, TB)
+            s_bc = dot(w, e_ref[0, 1])
+            s_ca = dot(w, e_ref[0, 2])
+            num = dot(wo_ref[:], p_ref[0])  # o.n - d
+
+            det = s_ab + s_bc + s_ca
+            parallel = det == 0.0
+            inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+            t = -num * inv_det
+            u = s_ca * inv_det
+            v = s_ab * inv_det
+
+            accept = (
+                ~parallel
+                & (u >= -EPS)
+                & (u <= 1.0 + EPS)
+                & (v >= -EPS)
+                & (u + v <= 1.0 + EPS)
+                & (t >= -EPS)
+            )
+            t_m = jnp.where(accept, t, F_MAX)
+
+            blk_min = jnp.min(t_m, axis=1, keepdims=True)  # (R, 1)
+            blk_arg = (
+                jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None] + blk * tri_block
+            )
+
+            improve = blk_min < best_t[:]
+            best_idx[:] = jnp.where(improve, blk_arg, best_idx[:])
+            best_t[:] = jnp.where(improve, blk_min, best_t[:])
+
+        pl.when(jnp.any(box_hit))(compute_block)
+
+    pl.when(blk >= 0)(visit)
+
+    @pl.when(j == nj - 1)
+    def _():
+        t_out[:] = best_t[:]
+        idx_out[:] = best_idx[:]
+
+
+def _tile_block_lists(
+    block_aabb: jax.Array,  # (nb, 8)
+    ro: jax.Array,  # (N, 3) padded to tile multiple
+    rd_n: jax.Array,  # (N, 3) normalized
+    alive: jax.Array,  # (N, 1) f32
+    ray_tile: int,
+    margin: float = 1.0,
+) -> jax.Array:
+    """(nt, nb) i32 worklists: per ray tile, the blocks any live ray's slab
+    test can reach, sorted by the tile's min entry distance; -1 padded."""
+    bmin = block_aabb[:, 0:3]
+    bmax = block_aabb[:, 3:6]
+    small = jnp.abs(rd_n) < 1e-12
+    inv_d = 1.0 / jnp.where(small, jnp.where(rd_n < 0.0, -1e-12, 1e-12), rd_n)
+    lo = (bmin[None, :, :] - ro[:, None, :]) * inv_d[:, None, :]  # (N, nb, 3)
+    hi = (bmax[None, :, :] - ro[:, None, :]) * inv_d[:, None, :]
+    tmin = jnp.max(jnp.minimum(lo, hi), axis=-1)  # (N, nb)
+    tmax = jnp.min(jnp.maximum(lo, hi), axis=-1)
+    hit = (tmax >= -margin) & (tmin <= tmax + margin) & (alive > 0.0)
+
+    nb = block_aabb.shape[0]
+    nt = ro.shape[0] // ray_tile
+    key = jnp.where(hit, tmin, jnp.inf).reshape(nt, ray_tile, nb).min(axis=1)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    skey = jnp.take_along_axis(key, order, axis=1)
+    return jnp.where(jnp.isfinite(skey), order, -1)
+
+
+def nearest_hit_blocked(
+    w: jax.Array,  # (N, 8), N % ray_tile == 0
+    wo: jax.Array,  # (N, 8) [o, -1, alive, 0...]
+    edge_blocks: jax.Array,  # (nb, 3, 8, TB)
+    plane_blocks: jax.Array,  # (nb, 8, TB)
+    block_aabb: jax.Array,  # (nb, 8)
+    block_list: jax.Array,  # (nt, nb) i32
+    ray_tile: int = RAY_TILE,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Returns (t (N,), idx (N,)) nearest accepted triangle per ray."""
+    n = w.shape[0]
+    nb, _, _, tri_block = edge_blocks.shape
+    assert n % ray_tile == 0, (n, ray_tile)
+    nt = n // ray_tile
+    assert block_list.shape == (nt, nb), (block_list.shape, nt, nb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt, nb),
+        in_specs=[
+            pl.BlockSpec((ray_tile, 8), lambda i, j, L, A: (i, 0)),
+            pl.BlockSpec((ray_tile, 8), lambda i, j, L, A: (i, 0)),
+            pl.BlockSpec(
+                (1, 3, 8, tri_block),
+                lambda i, j, L, A: (jnp.maximum(L[i, j], 0), 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 8, tri_block), lambda i, j, L, A: (jnp.maximum(L[i, j], 0), 0, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((ray_tile, 1), lambda i, j, L, A: (i, 0)),
+            pl.BlockSpec((ray_tile, 1), lambda i, j, L, A: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ray_tile, 1), jnp.float32),
+            pltpu.VMEM((ray_tile, 1), jnp.int32),
+        ],
+    )
+    t_out, idx_out = pl.pallas_call(
+        functools.partial(
+            _nearest_hit_list_kernel, tri_block=tri_block, precision=precision
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(block_list, block_aabb, w, wo, edge_blocks, plane_blocks)
+    return t_out[:, 0], idx_out[:, 0]
+
+
 def nearest_hit(
     w: jax.Array,  # (N, 8)
     wo: jax.Array,  # (N, 8) [o, -1, alive, 0...]
@@ -246,10 +439,19 @@ def trace_pallas(
         [ro_p, neg1, alive_p, jnp.zeros((ro_p.shape[0], 3), jnp.float32)], axis=-1
     )
 
-    t, idx = nearest_hit(
-        w, wo, world.edge_mat, world.plane_mat, world.cluster_aabb,
-        ray_tile=ray_tile, tri_block=tri_block, cull=cull,
-    )
+    if cull and world.edge_blocks is not None:
+        block_list = _tile_block_lists(
+            world.block_aabb, ro_p, rd_p, alive_p, ray_tile
+        )
+        t, idx = nearest_hit_blocked(
+            w, wo, world.edge_blocks, world.plane_blocks, world.block_aabb,
+            block_list, ray_tile=ray_tile,
+        )
+    else:
+        t, idx = nearest_hit(
+            w, wo, world.edge_mat, world.plane_mat, world.cluster_aabb,
+            ray_tile=ray_tile, tri_block=tri_block, cull=cull,
+        )
     t = t[:n]
     idx = jnp.maximum(idx[:n], 0)
 

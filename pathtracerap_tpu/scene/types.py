@@ -216,6 +216,14 @@ class WorldTriangles:
     v0: jax.Array  # (T, 3) f32 one vertex per triangle (for grads / rebaking)
     e1: jax.Array  # (T, 3) f32 b - a
     e2: jax.Array  # (T, 3) f32 c - a
+    # Blocked packs for the prefetch-list pallas kernel (None when baked
+    # with ``blocked_tile=None``, e.g. for the geometry-sharded ring path).
+    # Triangles are Morton-sorted so each contiguous block is spatially
+    # tight; each block's operands are contiguous in HBM (one DMA per
+    # (ray-tile, block) grid step instead of 24 strided row reads).
+    edge_blocks: jax.Array | None = None  # (nb, 3, 8, TB) f32
+    plane_blocks: jax.Array | None = None  # (nb, 8, TB) f32
+    block_aabb: jax.Array | None = None  # (nb, 8) f32 [min xyz, max xyz, 0, 0]
 
     @property
     def num_triangles(self) -> int:
