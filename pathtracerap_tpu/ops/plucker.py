@@ -64,7 +64,7 @@ def _morton3(p: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
 
 
 def bake_world_triangles(
-    scene: SceneDevice, pad_to: int = 128, blocked_tile: int | None = 512
+    scene: SceneDevice, pad_to: int = 128, fused_tile: int | None = 512
 ) -> WorldTriangles:
     """Bake all model instances into a world-space triangle soup.
 
@@ -75,12 +75,13 @@ def bake_world_triangles(
     contiguous runs are spatially coherent — the culling granularity of the
     traversal kernels (cluster/block AABBs) tightens from "whichever
     triangles the models happened to emit adjacently" to real spatial
-    locality.  Hit results are order-independent (nearest-t reduction);
-    only exact-t ties between distinct triangles can resolve differently.
+    locality.  Hit results are order-independent (nearest-t reduction;
+    exact-t ties resolve to the lowest triangle index in every engine).
 
-    ``blocked_tile`` additionally emits contiguously-packed per-block
-    operands + block AABBs for the prefetch-list pallas kernel; ``None``
-    skips them (geometry-sharded path, which slices the dense packs).
+    ``fused_tile`` additionally emits the fused (16, 4*T) operand pack +
+    per-block AABBs for the worklist pallas kernel (see
+    ``WorldTriangles.fused_ops``); ``None`` skips them (geometry-sharded
+    path, which slices the dense packs).
     """
     src = scene.world_tri_src
     mdl = scene.world_tri_model
@@ -142,9 +143,9 @@ def bake_world_triangles(
     )
 
     tw = a.shape[0]
-    if blocked_tile is not None:
-        assert blocked_tile % pad_to == 0, (blocked_tile, pad_to)
-        pad_to = blocked_tile
+    if fused_tile is not None:
+        assert fused_tile % pad_to == 0, (fused_tile, pad_to)
+        pad_to = fused_tile
     t_pad = _round_up(tw, pad_to)
     pad = t_pad - tw
 
@@ -182,26 +183,51 @@ def bake_world_triangles(
     # OUTSIDE the triangle — and at grazing angles no t-space margin can
     # cover a spatial miss, so the slack must be baked into the boxes.
     diag = jnp.linalg.norm(jnp.maximum(cl_max - cl_min, 0.0), axis=-1, keepdims=True)
-    pad_sp = 2.0 * EPS * diag + 0.01
+    # scale-relative absolute term (fp slab error grows with coordinate
+    # magnitude); EPSILON itself is an absolute reference constant
+    scene_diag = jnp.linalg.norm(jnp.maximum(scene_hi - scene_lo, 0.0))
+    pad_sp = 2.0 * EPS * diag + 1e-5 * scene_diag + 1e-6
     cl_min = cl_min - pad_sp
     cl_max = cl_max + pad_sp
     cluster_aabb = jnp.concatenate(
         [cl_min.T, cl_max.T, jnp.zeros((2, cl_min.shape[0]), jnp.float32)], axis=0
     )  # (8, T/128)
 
-    edge_blocks = plane_blocks = block_aabb = None
-    if blocked_tile is not None:
-        nb = t_pad // blocked_tile
-        edge_blocks = edge_mat.reshape(3, 8, nb, blocked_tile).transpose(2, 0, 1, 3)
-        plane_blocks = plane_mat.reshape(8, nb, blocked_tile).transpose(1, 0, 2)
+    fused_ops = block_aabb = None
+    if fused_tile is not None:
+        nb = t_pad // fused_tile
+        # fused (16, 4*T) pack: per block, columns [ab | bc | ca | plane];
+        # rows match the ray vector [d, o x d, o, -1, alive, 0...] — see
+        # WorldTriangles.fused_ops.  Edge columns live in rows 0-5, the
+        # plane column in rows 6-9 (negated so the product is t*det).
+        z10 = jnp.zeros((10, t_pad), jnp.float32)
+        q_edges = [jnp.concatenate([edge_mat[k, 0:6], z10], axis=0) for k in range(3)]
+        q_plane = jnp.concatenate(
+            [
+                jnp.zeros((6, t_pad), jnp.float32),
+                -plane_mat[0:3],
+                -plane_mat[3:4],
+                jnp.zeros((6, t_pad), jnp.float32),
+            ],
+            axis=0,
+        )
+        fused_ops = (
+            jnp.stack(q_edges + [q_plane], axis=0)  # (4, 16, T)
+            .reshape(4, 16, nb, fused_tile)
+            .transpose(1, 2, 0, 3)  # (16, nb, 4, TB)
+            .reshape(16, 4 * t_pad)
+        )
         # per-block AABBs with the same EPSILON-slack inflation as the
-        # cluster boxes (pure-padding blocks stay inverted => never hit)
+        # cluster boxes (pure-padding blocks stay inverted => never hit);
+        # the absolute term is scale-relative (1e-5 of the block diagonal
+        # floor'd at 1e-6) so millimeter- and kilometer-scale scenes get
+        # proportionate slack instead of a fixed world-unit constant.
         b_min = tri_min.reshape(nb, -1, 3).min(axis=1)
         b_max = tri_max.reshape(nb, -1, 3).max(axis=1)
         b_diag = jnp.linalg.norm(
             jnp.maximum(b_max - b_min, 0.0), axis=-1, keepdims=True
         )
-        b_pad = 2.0 * EPS * b_diag + 0.01
+        b_pad = 2.0 * EPS * b_diag + 1e-5 * scene_diag + 1e-6
         block_aabb = jnp.concatenate(
             [b_min - b_pad, b_max + b_pad, jnp.zeros((nb, 2), jnp.float32)], axis=-1
         )  # (nb, 8)
@@ -220,8 +246,7 @@ def bake_world_triangles(
         v0=padt(a),
         e1=padt(b - a),
         e2=padt(c - a),
-        edge_blocks=edge_blocks,
-        plane_blocks=plane_blocks,
+        fused_ops=fused_ops,
         block_aabb=block_aabb,
     )
 

@@ -155,114 +155,130 @@ def _interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# Prefetch-list kernel: per-ray-tile block worklists.
+# Fused worklist kernel: per-ray-tile block worklists, whole scene resident.
 #
 # The dense kernel sweeps every (ray tile, triangle block) pair; block
 # culling can only veto the matmuls *after* paying the grid step.  Here the
 # (tile -> spatially-relevant blocks) mapping is computed OUTSIDE the kernel
 # (cheap XLA slab tests, ~N*nb ops), sorted front-to-back by the tile's AABB
-# entry distance, padded with -1, and fed to the kernel as scalar-prefetched
-# worklists: the index_map itself reads list[i, j], so irrelevant blocks are
-# never even DMA'd.  Front-to-back order makes the in-kernel per-ray
-# best_t distance test converge fast (the wavefront analog of the
-# reference's DDA early-exit, Renderer.cpp:326-329, but conservative —
-# never changes the returned nearest hit).
+# entry distance, padded with -1, and fed as a scalar-prefetched worklist.
+# The grid runs over ray tiles ONLY; the per-tile block loop is an in-kernel
+# ``fori_loop`` over the worklist with the full fused operand pack resident
+# in VMEM (16 * 4T * 4 bytes — 1 MB at 4k triangles), so a block visit costs
+# exactly one (R, 16) @ (16, 4*TB) f32 matmul plus the accept/rank chain: no
+# per-block grid step, no per-block DMA, no repeated scratch init.
+# Front-to-back order makes the in-kernel per-ray best_t distance test
+# converge fast (the wavefront analog of the reference's DDA early-exit,
+# Renderer.cpp:326-329, but conservative — never changes the returned hit).
 # ---------------------------------------------------------------------------
 
 
-def _nearest_hit_list_kernel(
+def _fused_list_kernel(
     list_ref,  # SMEM (nt, nb) i32 — per-tile block worklist, -1 padded
     aabb_ref,  # SMEM (nb, 8) f32 — per-block [min xyz, max xyz, 0, 0]
-    w_ref,  # (R, 8)   [dir, orig x dir, 0, 0]
-    wo_ref,  # (R, 8)  [orig, -1, alive, 0...]
-    e_ref,  # (1, 3, 8, TB) edge Pluecker block
-    p_ref,  # (1, 8, TB)  plane block
+    margin_ref,  # SMEM (1,) f32 — scale-relative slab margin
+    w_ref,  # (R, 16)  [dir, orig x dir, orig, -1, alive, 0...]
+    ops_ref,  # (16, 4*T) fused operand pack (block-grouped columns)
     t_out,  # (R, 1)
     idx_out,  # (R, 1) i32
-    best_t,  # scratch (R, 1)
-    best_idx,  # scratch (R, 1) i32
     *,
     tri_block: int,
-    precision,
+    n_blocks: int,
 ):
     i = pl.program_id(0)
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
 
-    @pl.when(j == 0)
-    def _():
-        best_t[:] = jnp.full_like(best_t, F_MAX)
-        best_idx[:] = jnp.full_like(best_idx, -1)
+    dirs = w_ref[:, 0:3]
+    o = w_ref[:, 6:9]
+    alive = w_ref[:, 10:11] > 0.0
+    small = jnp.abs(dirs) < 1e-12
+    dirs_safe = jnp.where(small, jnp.where(dirs < 0.0, -1e-12, 1e-12), dirs)
+    inv_d = 1.0 / dirs_safe
+    margin = margin_ref[0]
 
-    blk = list_ref[i, j]
+    def visit(j, carry):
+        best_t, best_idx = carry
+        blk = list_ref[i, j]
 
-    def visit():
-        # per-ray recheck with the running best: skip the matmuls when no
-        # live ray can improve inside this block's (inflated) AABB
-        o = wo_ref[:, 0:3]
-        dirs = w_ref[:, 0:3]
-        alive = wo_ref[:, 4:5] > 0.0
-        small = jnp.abs(dirs) < 1e-12
-        dirs_safe = jnp.where(small, jnp.where(dirs < 0.0, -1e-12, 1e-12), dirs)
-        inv_d = 1.0 / dirs_safe
-        bb_min = jnp.stack([aabb_ref[blk, 0], aabb_ref[blk, 1], aabb_ref[blk, 2]])
-        bb_max = jnp.stack([aabb_ref[blk, 3], aabb_ref[blk, 4], aabb_ref[blk, 5]])
-        lo = (bb_min[None, :] - o) * inv_d
-        hi = (bb_max[None, :] - o) * inv_d
-        tmin = jnp.max(jnp.minimum(lo, hi), axis=1, keepdims=True)  # (R, 1)
-        tmax = jnp.min(jnp.maximum(lo, hi), axis=1, keepdims=True)
-        margin = 1.0  # conservative: tiny-negative-t accepts + fp slack
-        box_hit = (
-            (tmax >= -margin)
-            & (tmin <= tmax + margin)
-            & (tmin - margin <= best_t[:])
-            & alive
-        )
-
-        def compute_block():
-            w = w_ref[:]
-            dot = functools.partial(
-                jnp.dot, preferred_element_type=jnp.float32, precision=precision
-            )
-            s_ab = dot(w, e_ref[0, 0])  # (R, TB)
-            s_bc = dot(w, e_ref[0, 1])
-            s_ca = dot(w, e_ref[0, 2])
-            num = dot(wo_ref[:], p_ref[0])  # o.n - d
-
-            det = s_ab + s_bc + s_ca
-            parallel = det == 0.0
-            inv_det = 1.0 / jnp.where(parallel, 1.0, det)
-            t = -num * inv_det
-            u = s_ca * inv_det
-            v = s_ab * inv_det
-
-            accept = (
-                ~parallel
-                & (u >= -EPS)
-                & (u <= 1.0 + EPS)
-                & (v >= -EPS)
-                & (u + v <= 1.0 + EPS)
-                & (t >= -EPS)
-            )
-            t_m = jnp.where(accept, t, F_MAX)
-
-            blk_min = jnp.min(t_m, axis=1, keepdims=True)  # (R, 1)
-            blk_arg = (
-                jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None] + blk * tri_block
+        def live(carry):
+            best_t, best_idx = carry
+            # per-ray recheck with the running best: skip the matmul when no
+            # live ray can improve inside this block's (inflated) AABB
+            bb_min = jnp.stack([aabb_ref[blk, 0], aabb_ref[blk, 1], aabb_ref[blk, 2]])
+            bb_max = jnp.stack([aabb_ref[blk, 3], aabb_ref[blk, 4], aabb_ref[blk, 5]])
+            lo = (bb_min[None, :] - o) * inv_d
+            hi = (bb_max[None, :] - o) * inv_d
+            tmin = jnp.max(jnp.minimum(lo, hi), axis=1, keepdims=True)  # (R, 1)
+            tmax = jnp.min(jnp.maximum(lo, hi), axis=1, keepdims=True)
+            box_hit = (
+                (tmax >= -margin)
+                & (tmin <= tmax + margin)
+                & (tmin - margin <= best_t)
+                & alive
             )
 
-            improve = blk_min < best_t[:]
-            best_idx[:] = jnp.where(improve, blk_arg, best_idx[:])
-            best_t[:] = jnp.where(improve, blk_min, best_t[:])
+            def compute(carry):
+                best_t, best_idx = carry
+                cols = pl.ds(pl.multiple_of(blk * (4 * tri_block), 4 * tri_block), 4 * tri_block)
+                s = jnp.dot(
+                    w_ref[:],
+                    ops_ref[:, cols],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (R, 4*TB)
+                s_ab = s[:, 0:tri_block]
+                s_bc = s[:, tri_block : 2 * tri_block]
+                s_ca = s[:, 2 * tri_block : 3 * tri_block]
+                num2 = s[:, 3 * tri_block :]  # t * det (plane columns negated)
 
-        pl.when(jnp.any(box_hit))(compute_block)
+                det = s_ab + s_bc + s_ca
+                parallel = det == 0.0
+                inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+                t = num2 * inv_det
+                u = s_ca * inv_det
+                v = s_ab * inv_det
 
-    pl.when(blk >= 0)(visit)
+                accept = (
+                    ~parallel
+                    & (u >= -EPS)
+                    & (u <= 1.0 + EPS)
+                    & (v >= -EPS)
+                    & (u + v <= 1.0 + EPS)
+                    & (t >= -EPS)
+                )
+                t_m = jnp.where(accept, t, F_MAX)
 
-    @pl.when(j == nj - 1)
-    def _():
-        t_out[:] = best_t[:]
-        idx_out[:] = best_idx[:]
+                blk_min = jnp.min(t_m, axis=1, keepdims=True)  # (R, 1)
+                blk_arg = (
+                    jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None]
+                    + blk * tri_block
+                )
+
+                # lexicographic (t, idx): exact-t ties resolve to the lowest
+                # triangle index regardless of per-tile visit order, matching
+                # the dense kernel / MXU engine argmin-first semantics
+                improve = (blk_min < best_t) | (
+                    (blk_min == best_t) & (blk_arg < best_idx) & (blk_min < F_MAX)
+                )
+                return (
+                    jnp.where(improve, blk_min, best_t),
+                    jnp.where(improve, blk_arg, best_idx),
+                )
+
+            return jax.lax.cond(
+                jnp.any(box_hit), compute, lambda c: c, (best_t, best_idx)
+            )
+
+        return jax.lax.cond(blk >= 0, live, lambda c: c, (best_t, best_idx))
+
+    n = w_ref.shape[0]
+    best_t, best_idx = jax.lax.fori_loop(
+        0,
+        n_blocks,
+        visit,
+        (jnp.full((n, 1), F_MAX, jnp.float32), jnp.full((n, 1), -1, jnp.int32)),
+    )
+    t_out[:] = best_t
+    idx_out[:] = best_idx
 
 
 def _tile_block_lists(
@@ -271,10 +287,12 @@ def _tile_block_lists(
     rd_n: jax.Array,  # (N, 3) normalized
     alive: jax.Array,  # (N, 1) f32
     ray_tile: int,
-    margin: float = 1.0,
+    margin=None,
 ) -> jax.Array:
     """(nt, nb) i32 worklists: per ray tile, the blocks any live ray's slab
     test can reach, sorted by the tile's min entry distance; -1 padded."""
+    if margin is None:
+        margin = _slab_margin(block_aabb)
     bmin = block_aabb[:, 0:3]
     bmax = block_aabb[:, 3:6]
     small = jnp.abs(rd_n) < 1e-12
@@ -293,57 +311,65 @@ def _tile_block_lists(
     return jnp.where(jnp.isfinite(skey), order, -1)
 
 
-def nearest_hit_blocked(
-    w: jax.Array,  # (N, 8), N % ray_tile == 0
-    wo: jax.Array,  # (N, 8) [o, -1, alive, 0...]
-    edge_blocks: jax.Array,  # (nb, 3, 8, TB)
-    plane_blocks: jax.Array,  # (nb, 8, TB)
+def _slab_margin(block_aabb: jax.Array) -> jax.Array:
+    """Scale-relative conservative slab-test margin (scalar, traced).
+
+    Must cover (a) the reference's tiny-negative-t accepts (``t >= -EPS``,
+    an absolute constant, Renderer.cpp:201) and (b) f32 slab arithmetic
+    error, which grows with coordinate magnitude — so the margin scales
+    with the scene extent instead of being a fixed world-unit constant.
+    """
+    finite = jnp.abs(block_aabb[:, 0:6]) < F_MAX
+    scale = jnp.max(jnp.where(finite, jnp.abs(block_aabb[:, 0:6]), 0.0))
+    return EPS + 1e-5 * scale
+
+
+def nearest_hit_fused(
+    w: jax.Array,  # (N, 16), N % ray_tile == 0
+    fused_ops: jax.Array,  # (16, 4*T) block-grouped operand pack
     block_aabb: jax.Array,  # (nb, 8)
     block_list: jax.Array,  # (nt, nb) i32
+    margin: jax.Array,  # () f32
     ray_tile: int = RAY_TILE,
-    precision=jax.lax.Precision.HIGHEST,
 ):
     """Returns (t (N,), idx (N,)) nearest accepted triangle per ray."""
     n = w.shape[0]
-    nb, _, _, tri_block = edge_blocks.shape
+    nb = block_aabb.shape[0]
+    tri_block = fused_ops.shape[1] // (4 * nb)
     assert n % ray_tile == 0, (n, ray_tile)
     nt = n // ray_tile
     assert block_list.shape == (nt, nb), (block_list.shape, nt, nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nt, nb),
+        num_scalar_prefetch=3,
+        grid=(nt,),
         in_specs=[
-            pl.BlockSpec((ray_tile, 8), lambda i, j, L, A: (i, 0)),
-            pl.BlockSpec((ray_tile, 8), lambda i, j, L, A: (i, 0)),
+            pl.BlockSpec((ray_tile, 16), lambda i, L, A, M: (i, 0)),
             pl.BlockSpec(
-                (1, 3, 8, tri_block),
-                lambda i, j, L, A: (jnp.maximum(L[i, j], 0), 0, 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 8, tri_block), lambda i, j, L, A: (jnp.maximum(L[i, j], 0), 0, 0)
-            ),
+                (16, fused_ops.shape[1]), lambda i, L, A, M: (0, 0)
+            ),  # whole pack VMEM-resident, DMA'd once
         ],
         out_specs=[
-            pl.BlockSpec((ray_tile, 1), lambda i, j, L, A: (i, 0)),
-            pl.BlockSpec((ray_tile, 1), lambda i, j, L, A: (i, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((ray_tile, 1), jnp.float32),
-            pltpu.VMEM((ray_tile, 1), jnp.int32),
+            pl.BlockSpec((ray_tile, 1), lambda i, L, A, M: (i, 0)),
+            pl.BlockSpec((ray_tile, 1), lambda i, L, A, M: (i, 0)),
         ],
     )
     t_out, idx_out = pl.pallas_call(
         functools.partial(
-            _nearest_hit_list_kernel, tri_block=tri_block, precision=precision
+            _fused_list_kernel, tri_block=tri_block, n_blocks=nb
         ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * fused_ops.shape[1] * 16,
+            bytes_accessed=n * 16 * 4 + fused_ops.size * 4 + n * 8,
+            transcendentals=0,
+        ),
         interpret=_interpret(),
-    )(block_list, block_aabb, w, wo, edge_blocks, plane_blocks)
+    )(block_list, block_aabb, margin.reshape(1), w, fused_ops)
     return t_out[:, 0], idx_out[:, 0]
 
 
@@ -415,7 +441,12 @@ def trace_pallas(
     ``ops.plucker.trace_mxu``.  ``alive`` (N,) bool lets the kernel skip
     triangle blocks (and whole dead tiles) for terminated lanes — the
     wavefront analog of the reference's stream compaction shrinking its
-    launch sizes (Renderer.cpp:628-634)."""
+    launch sizes (Renderer.cpp:628-634).
+
+    When ``cull=True`` and the world carries a fused pack, the worklist
+    kernel is used and its triangle-block granularity is fixed at bake time
+    (``bake_world_triangles(fused_tile=...)``); the ``tri_block`` parameter
+    only applies to the dense fallback kernel."""
     n = ro.shape[0]
     rd_n = normalize(rd)
     if alive is None:
@@ -432,22 +463,28 @@ def trace_pallas(
         ro_p, rd_p, alive_p = ro, rd_n, alive_f
 
     m = jnp.cross(ro_p, rd_p)
-    zeros2 = jnp.zeros((ro_p.shape[0], 2), jnp.float32)
-    w = jnp.concatenate([rd_p, m, zeros2], axis=-1)
-    neg1 = jnp.full((ro_p.shape[0], 1), -1.0, jnp.float32)
-    wo = jnp.concatenate(
-        [ro_p, neg1, alive_p, jnp.zeros((ro_p.shape[0], 3), jnp.float32)], axis=-1
-    )
 
-    if cull and world.edge_blocks is not None:
+    if cull and world.fused_ops is not None:
+        margin = _slab_margin(world.block_aabb)
         block_list = _tile_block_lists(
-            world.block_aabb, ro_p, rd_p, alive_p, ray_tile
+            world.block_aabb, ro_p, rd_p, alive_p, ray_tile, margin
         )
-        t, idx = nearest_hit_blocked(
-            w, wo, world.edge_blocks, world.plane_blocks, world.block_aabb,
-            block_list, ray_tile=ray_tile,
+        neg1 = jnp.full((ro_p.shape[0], 1), -1.0, jnp.float32)
+        w16 = jnp.concatenate(
+            [rd_p, m, ro_p, neg1, alive_p, jnp.zeros((ro_p.shape[0], 5), jnp.float32)],
+            axis=-1,
+        )
+        t, idx = nearest_hit_fused(
+            w16, world.fused_ops, world.block_aabb, block_list, margin,
+            ray_tile=ray_tile,
         )
     else:
+        zeros2 = jnp.zeros((ro_p.shape[0], 2), jnp.float32)
+        w = jnp.concatenate([rd_p, m, zeros2], axis=-1)
+        neg1 = jnp.full((ro_p.shape[0], 1), -1.0, jnp.float32)
+        wo = jnp.concatenate(
+            [ro_p, neg1, alive_p, jnp.zeros((ro_p.shape[0], 3), jnp.float32)], axis=-1
+        )
         t, idx = nearest_hit(
             w, wo, world.edge_mat, world.plane_mat, world.cluster_aabb,
             ray_tile=ray_tile, tri_block=tri_block, cull=cull,

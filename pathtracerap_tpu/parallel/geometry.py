@@ -122,11 +122,11 @@ def render_image_geometry_sharded(
     n_dev = mesh.devices.size
 
     # pad triangles so every shard is lane-aligned for the pallas kernel
-    # blocked_tile=None: the ring path slices the dense packs per shard and
+    # fused_tile=None: the ring path slices the dense packs per shard and
     # uses the dense-sweep kernel (shards are small), not the prefetch-list
     # kernel, so the blocked packs would only waste memory
     world = jax.jit(
-        functools.partial(bake_world_triangles, pad_to=128 * n_dev, blocked_tile=None)
+        functools.partial(bake_world_triangles, pad_to=128 * n_dev, fused_tile=None)
     )(scene)
 
     key = jax.random.PRNGKey(config.seed)

@@ -216,13 +216,19 @@ class WorldTriangles:
     v0: jax.Array  # (T, 3) f32 one vertex per triangle (for grads / rebaking)
     e1: jax.Array  # (T, 3) f32 b - a
     e2: jax.Array  # (T, 3) f32 c - a
-    # Blocked packs for the prefetch-list pallas kernel (None when baked
-    # with ``blocked_tile=None``, e.g. for the geometry-sharded ring path).
+    # Fused operand pack for the worklist pallas kernel (None when baked
+    # with ``fused_tile=None``, e.g. for the geometry-sharded ring path).
     # Triangles are Morton-sorted so each contiguous block is spatially
-    # tight; each block's operands are contiguous in HBM (one DMA per
-    # (ray-tile, block) grid step instead of 24 strided row reads).
-    edge_blocks: jax.Array | None = None  # (nb, 3, 8, TB) f32
-    plane_blocks: jax.Array | None = None  # (nb, 8, TB) f32
+    # tight.  Layout (16, 4*T): per block of ``TB`` triangles the columns
+    # are grouped ``[s_ab | s_bc | s_ca | plane]`` so ONE
+    # ``(R, 16) @ (16, 4*TB)`` MXU matmul per block visit yields all three
+    # Pluecker side values and the plane numerator at once (K <= 128 is
+    # free on the systolic array, so fusing the four K=8 matmuls into one
+    # K=16 matmul quarters the MXU time at identical f32 numerics).
+    # Ray rows: [dir(0:3), orig x dir(3:6), orig(6:9), -1(9), alive(10), 0...].
+    # Column rows: edges [p x q(0:3), q - p(3:6), 0...]; plane
+    # [0(0:6), -n(6:9), -d_plane(9), 0...] so the product is t*det directly.
+    fused_ops: jax.Array | None = None  # (16, 4*T) f32
     block_aabb: jax.Array | None = None  # (nb, 8) f32 [min xyz, max xyz, 0, 0]
 
     @property
