@@ -48,8 +48,9 @@ class RenderConfig:
     camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
 
     # Traversal engine: "parity" (reference-faithful vectorized DDA),
-    # "mxu" (Pluecker matmul engine via XLA), or "pallas" (fused Pluecker
-    # nearest-hit kernel — fastest on TPU).
+    # "mxu" (Pluecker matmul engine via XLA), "pallas" (fused Pluecker
+    # nearest-hit kernel), or "fused" (whole-sample megakernel: trace +
+    # shade + RNG consume in one Pallas kernel — fastest on TPU).
     engine: str = "mxu"
 
     # parity=True reproduces the reference's behavioral quirks exactly

@@ -144,3 +144,30 @@ def load_obj(
         bbox_min=pos.min(axis=0),
         bbox_max=pos.max(axis=0),
     )
+
+
+def save_obj(path: str, mesh: ObjMesh, header: str = "") -> None:
+    """Write an ObjMesh back out as a pre-triangulated v/vn/f OBJ.
+
+    Used to export self-contained copies of benchmark geometry (so renders
+    do not require the read-only reference checkout) and to persist
+    synthetic meshes.  Positions/normals are written as stored — callers
+    exporting a reference-scaled mesh should load with ``scale=1.0`` first.
+    """
+    has_n = bool(np.any(mesh.normals))
+    with open(path, "w") as f:
+        if header:
+            for line in header.splitlines():
+                f.write(f"# {line}\n")
+        for p in mesh.positions:
+            f.write(f"v {p[0]:.9g} {p[1]:.9g} {p[2]:.9g}\n")
+        if has_n:
+            for n in mesh.normals:
+                f.write(f"vn {n[0]:.9g} {n[1]:.9g} {n[2]:.9g}\n")
+        for t in mesh.triangles:
+            if has_n:
+                f.write(
+                    f"f {t[0]+1}//{t[0]+1} {t[1]+1}//{t[1]+1} {t[2]+1}//{t[2]+1}\n"
+                )
+            else:
+                f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")

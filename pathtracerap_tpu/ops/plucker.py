@@ -126,15 +126,34 @@ def bake_world_triangles(
     mat_type = scene.mat_type[mdl]
     mat_color = scene.mat_color[mdl]
 
-    # Morton-sort by world centroid; model-alignment padding (src == -1)
-    # sorts to the end (its centroid is the origin of a zeroed triangle, so
-    # force it last explicitly).
+    # Sort world triangles into (fat | small-by-Morton | padding) order:
+    #
+    # * "fat" triangles (extent above ~15% of the scene diagonal — the
+    #   enclosing-box walls, Scene.cpp:57-70) would poison every Morton
+    #   block's AABB they land in, making block culling useless (measured:
+    #   7.2/8 blocks slab-reachable per primary tile with a global Morton
+    #   sort).  They get their own leading block(s).
+    # * fat-FIRST visit order seeds every ray's running best_t with a wall
+    #   hit on the first visit, so the per-visit `tmin <= best_t + margin`
+    #   test prunes the tight blocks behind it — the wavefront analog of
+    #   the reference's DDA early-exit (Renderer.cpp:326-329), still
+    #   conservative.
+    # * ties stay consistent across engines because every engine breaks
+    #   exact-t ties by lowest index IN THIS BAKED ORDER.
     centroid = (a + b + c) * (1.0 / 3.0)
     scene_lo = jnp.min(jnp.where(src_valid > 0, centroid, F_MAX), axis=0)
     scene_hi = jnp.max(jnp.where(src_valid > 0, centroid, -F_MAX), axis=0)
     code = _morton3(centroid, scene_lo, scene_hi)
-    code = jnp.where(src_valid[:, 0] > 0, code, jnp.int32(1 << 30))
+    tmin_ = jnp.minimum(jnp.minimum(a, b), c)
+    tmax_ = jnp.maximum(jnp.maximum(a, b), c)
+    diag_t = jnp.linalg.norm(tmax_ - tmin_, axis=-1)
+    diag_s = jnp.linalg.norm(jnp.maximum(scene_hi - scene_lo, 1e-30))
+    fat = diag_t > 0.15 * diag_s
+    klass = jnp.where(
+        src_valid[:, 0] > 0, jnp.where(fat, 0, 1), 2
+    ).astype(jnp.int32)
     perm = jnp.argsort(code, stable=True)
+    perm = perm[jnp.argsort(klass[perm], stable=True)]
     (a, b, c, e_ab, e_bc, e_ca, n, d_plane, shade_n, mat_type, mat_color,
      src_valid) = (
         x[perm]
@@ -193,7 +212,7 @@ def bake_world_triangles(
         [cl_min.T, cl_max.T, jnp.zeros((2, cl_min.shape[0]), jnp.float32)], axis=0
     )  # (8, T/128)
 
-    fused_ops = block_aabb = None
+    fused_ops = block_aabb = attr_rows = None
     if fused_tile is not None:
         nb = t_pad // fused_tile
         # fused (16, 4*T) pack: per block, columns [ab | bc | ca | plane];
@@ -231,6 +250,17 @@ def bake_world_triangles(
         block_aabb = jnp.concatenate(
             [b_min - b_pad, b_max + b_pad, jnp.zeros((nb, 2), jnp.float32)], axis=-1
         )  # (nb, 8)
+        # per-triangle shading attributes as rows, for the megakernel's
+        # in-kernel argmin select: [nx, ny, nz, mat_type, r, g, b, 0]
+        attr_rows = jnp.concatenate(
+            [
+                padt(shade_n).T,
+                padt(mat_type.astype(jnp.float32))[None, :],
+                padt(mat_color).T,
+                jnp.zeros((1, t_pad), jnp.float32),
+            ],
+            axis=0,
+        )  # (8, T)
 
     return WorldTriangles(
         edge_pluecker=edge_pluecker,
@@ -248,6 +278,7 @@ def bake_world_triangles(
         e2=padt(c - a),
         fused_ops=fused_ops,
         block_aabb=block_aabb,
+        attr_rows=attr_rows,
     )
 
 

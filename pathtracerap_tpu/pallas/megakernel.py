@@ -1,0 +1,562 @@
+"""Whole-sample megakernel: trace + hit-attribute select + shade + RNG
+consume fused into ONE Pallas kernel, ray state resident in VMEM across the
+bounce loop.
+
+Why: the per-bounce pipeline (``render/wavefront.py``) round-trips the full
+ray state and HitRecords through HBM between a Pallas traversal launch and
+XLA shading glue *every bounce* — at the reference scene's size (4k world
+triangles) that glue dominates the sample time.  Here one grid step owns one
+ray tile for an entire sample iteration: the bounce loop is unrolled inside
+the kernel, the fused triangle operand pack stays VMEM-resident, and the
+only HBM traffic per sample is the primary-ray pack, the pre-drawn uniforms
+and R*4 floats of output.
+
+This is the TPU answer to the reference's whole wavefront iteration
+(``Renderer.cpp:582-640``: generate -> {intersect, shade, compact} loop),
+minus the 21 kernel launches and full-device syncs per sample.
+
+Semantics contract:
+
+* traversal: identical accept logic to ``ops/plucker._trace_chunk``
+  (epsilon-guarded Moeller-Trumbore via Pluecker side matmuls,
+  Renderer.cpp:174-215); nearest hit with lexicographic (t, index) ties —
+  blocks are visited in ascending index order with a strict ``<`` improve
+  test, and the in-block argmin is first-win, so ties resolve to the lowest
+  triangle index exactly like the dense engines.
+* shading: a line-for-line port of :func:`render.shade.shade` (itself
+  ``shadeRayKernel``, Renderer.cpp:411-479) on (R, 1)/(R, 3) VMEM slabs.
+* RNG: consumes the SAME pre-drawn uniform stream as the other engines
+  (``ops.rng.tile_uniforms`` per 8192-ray tile), so images match the MXU
+  engine per pixel up to traversal ulps.
+* matmul precision: ``jax.lax.Precision.HIGH`` (3-pass bf16 ~ f32
+  fidelity).  HIGHEST (6-pass) doubles MXU time for precision beyond f32 —
+  measured unnecessary: hit distances differ only at ~1e-6 rel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants
+from ..ops.math import normalize
+from ..ops.rng import bounce_key
+from ..scene.types import MaterialType, WorldTriangles
+
+F_MAX = constants.FLOAT_MAX
+EPS = constants.EPSILON
+
+RAY_TILE = 512
+RNG_TILE = 8192  # uniforms stream granularity (matches DEFAULT_TILE)
+
+# Traversal matmul precision mode.  Mosaic's in-kernel dot supports only
+# DEFAULT (single-pass bf16 — rel error ~4e-3, enough to flip hit accepts at
+# scene scale) and HIGHEST (full fp32 — 2x the MXU passes we need).  The
+# sweet spot is a MANUAL 3-pass bf16 split (the "bf16x3" trick XLA calls
+# Precision.HIGH, which Mosaic does not expose):
+#   s = hi(w) @ hi(o) + hi(w) @ lo(o) + lo(w) @ hi(o)
+# with hi/lo the leading/residual bf16 components.  Dropping the lo*lo term
+# leaves ~2^-16 relative error — hit distances land within ~0.01 world units
+# at the reference's ~1000-unit scene scale, far inside the 0.1 spawn
+# offset (Renderer.cpp:437).
+#   "f32"    — exact fp32 (Mosaic HIGHEST); also used in interpret mode so
+#              CPU tests compare engines bit-for-bit.
+#   "bf16x3" — 3-pass split; the TPU default.
+#   "bf16"   — single pass; fastest, visibly wrong at scene scale (A/B only).
+import os as _os
+
+PRECISION_MODE = _os.environ.get("PTAP_MM_PRECISION", "bf16x3")
+
+
+def _mm(a, b):
+    """Matmul at the configured traversal precision (see PRECISION_MODE)."""
+    mode = "f32" if _interpret() else PRECISION_MODE
+    if mode == "f32":
+        return jnp.dot(
+            a, b, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    if mode == "bf16":
+        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
+_MT_DIFFUSE = float(int(MaterialType.DIFFUSE))
+_MT_REFLECTIVE = float(int(MaterialType.REFLECTIVE))
+_MT_EMISSIVE = float(int(MaterialType.EMISSIVE))
+_MT_COAT = float(int(MaterialType.COAT))
+_MT_METAL = float(int(MaterialType.METAL))
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# In-kernel math on (R, 1)/(R, 3) slabs.  These mirror ops/math.py and
+# ops/sampling.py exactly but keep everything >= 2D (Mosaic's vector layout
+# wants a lane dimension).
+# ---------------------------------------------------------------------------
+
+
+def _norm3(v):
+    return v * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(v * v, axis=1, keepdims=True), 1e-30)
+    )
+
+
+def _cross3(a, b):
+    ax, ay, az = a[:, 0:1], a[:, 1:2], a[:, 2:3]
+    bx, by, bz = b[:, 0:1], b[:, 1:2], b[:, 2:3]
+    return jnp.concatenate(
+        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=1
+    )
+
+
+def _dot3(a, b):
+    return jnp.sum(a * b, axis=1, keepdims=True)
+
+
+def _axis_onehot(r, k):
+    i = jax.lax.broadcasted_iota(jnp.int32, (r, 3), 1)
+    return (i == k).astype(jnp.float32)
+
+
+def _cosine_hemisphere(n, u0, u1):
+    """calculateRandomDirectionInHemisphere (utility.h:91-123)."""
+    up = jnp.sqrt(jnp.maximum(u0, 0.0))
+    over = jnp.sqrt(jnp.maximum(1.0 - up * up, 0.0))
+    around = u1 * constants.TWO_PI
+    r = n.shape[0]
+    ax = jnp.abs(n[:, 0:1])
+    ay = jnp.abs(n[:, 1:2])
+    s13 = constants.SQRT_OF_ONE_THIRD
+    seed = jnp.where(
+        ax < s13,
+        _axis_onehot(r, 0),
+        jnp.where(ay < s13, _axis_onehot(r, 1), _axis_onehot(r, 2)),
+    )
+    t1 = _norm3(_cross3(n, seed))
+    t2 = _norm3(_cross3(n, t1))
+    return up * n + (jnp.cos(around) * over) * t1 + (jnp.sin(around) * over) * t2
+
+
+def _metal_scatter(n, d, u2, u3):
+    """calculateMetalScattering: Phong-30 lobe (utility.h:145-170)."""
+    phi = constants.TWO_PI * u2
+    cos_t = jnp.power(
+        jnp.maximum(1.0 - u3, 0.0), 1.0 / (constants.METAL_PHONG_EXPONENT + 1.0)
+    )
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    ndotd = _dot3(n, d)
+    w = _norm3(d - n * (2.0 * ndotd))
+    r = n.shape[0]
+    seed = jnp.where(
+        jnp.abs(w[:, 0:1]) > 0.1, _axis_onehot(r, 1), _axis_onehot(r, 0)
+    )
+    u = _norm3(_cross3(seed, w))
+    v = _cross3(w, u)
+    return u * (jnp.cos(phi) * sin_t) + v * (jnp.sin(phi) * sin_t) + w * cos_t
+
+
+def _reflect(d, n, parity: bool):
+    dn = _dot3(d, n)
+    base = n if parity else d  # utility.h:64-69 quirk in parity mode
+    return base - 2.0 * dn * n
+
+
+def _coat_scatter(n, d, u0, u1, u2, parity: bool):
+    """calculateCoatScattering: 50/50 RR (utility.h:125-143)."""
+    mirror = _reflect(d, n, parity)
+    diffuse = _cosine_hemisphere(n, u1, u2)
+    return jnp.where(u0 < constants.COAT_REFLECT_PROBABILITY, mirror, diffuse)
+
+
+def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, u, parity: bool):
+    """One wavefront shading step on VMEM slabs — port of
+    :func:`render.shade.shade` (shadeRayKernel, Renderer.cpp:411-479)."""
+    alive = remaining > 0.0
+    hit = t < F_MAX
+    d = _norm3(dirn)
+    pt = orig + d * t
+    spawn = pt + constants.SPAWN_OFFSET * n
+
+    def is_mat(v):
+        return jnp.abs(mt - v) < 0.5
+
+    is_diffuse = is_mat(_MT_DIFFUSE)
+    is_metal = is_mat(_MT_METAL)
+    is_coat = is_mat(_MT_COAT)
+    is_emissive = is_mat(_MT_EMISSIVE)
+    is_reflective = is_mat(_MT_REFLECTIVE)
+
+    u0, u1, u2, u3 = u[:, 0:1], u[:, 1:2], u[:, 2:3], u[:, 3:4]
+    dir_diffuse = _cosine_hemisphere(n, u0, u1)
+    dir_metal = _metal_scatter(n, d, u2, u3)
+    dir_coat = _coat_scatter(n, d, u0, u1, u2, parity)
+    dir_refl = _reflect(d, n, parity)
+
+    scatters = is_diffuse | is_metal | is_coat | is_reflective
+    new_dir = jnp.where(
+        is_diffuse,
+        dir_diffuse,
+        jnp.where(is_metal, dir_metal, jnp.where(is_coat, dir_coat, dir_refl)),
+    )
+
+    shaded = alive & hit
+    upd_dir = shaded & scatters
+    upd_col = shaded & (scatters | is_emissive)
+
+    orig = jnp.where(upd_dir, spawn, orig)
+    dirn = jnp.where(upd_dir, new_dir, dirn)
+    color = jnp.where(upd_col, color * mc, color)
+    missed = alive & ~hit
+    color = jnp.where(missed, color * constants.MISS_ATTENUATION, color)
+    kill = missed | (shaded & is_emissive)
+    remaining = jnp.where(
+        kill, 0.0, jnp.where(alive, remaining - 1.0, remaining)
+    )
+    return orig, dirn, color, remaining
+
+
+def _trace_inkernel(
+    orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
+    tri_block: int, n_blocks: int
+):
+    """Nearest hit + attribute select for the live wavefront, all in VMEM.
+
+    Blocks are visited in ascending index order with per-visit AABB culling
+    against the running per-ray best (the wavefront analog of the
+    reference's per-model AABB gate + DDA early-out, Renderer.cpp:252,
+    326-329 — but conservative: the returned hit never changes).
+    """
+    r = orig.shape[0]
+    d_n = _norm3(dirn)
+    m = _cross3(orig, d_n)
+    alive_f = (remaining > 0.0).astype(jnp.float32)
+    w16 = jnp.concatenate(
+        [d_n, m, orig, jnp.full((r, 1), -1.0, jnp.float32), alive_f,
+         jnp.zeros((r, 5), jnp.float32)],
+        axis=1,
+    )
+    small = jnp.abs(d_n) < 1e-12
+    inv_d = 1.0 / jnp.where(small, jnp.where(d_n < 0.0, -1e-12, 1e-12), d_n)
+    alive = alive_f > 0.0
+
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (r, tri_block), 1)
+
+    def visit(blk, carry):
+        best_t, attrs = carry
+        bb_min = jnp.stack([aabb_ref[blk, 0], aabb_ref[blk, 1], aabb_ref[blk, 2]])
+        bb_max = jnp.stack([aabb_ref[blk, 3], aabb_ref[blk, 4], aabb_ref[blk, 5]])
+        lo = (bb_min[None, :] - orig) * inv_d
+        hi = (bb_max[None, :] - orig) * inv_d
+        tmin = jnp.max(jnp.minimum(lo, hi), axis=1, keepdims=True)
+        tmax = jnp.min(jnp.maximum(lo, hi), axis=1, keepdims=True)
+        box_hit = (
+            (tmax >= -margin)
+            & (tmin <= tmax + margin)
+            & (tmin - margin <= best_t)
+            & alive
+        )
+
+        def compute(carry):
+            best_t, attrs = carry
+            cols = pl.ds(
+                pl.multiple_of(blk * (4 * tri_block), 4 * tri_block), 4 * tri_block
+            )
+            s = _mm(w16, ops_ref[:, cols])  # (R, 4*TB)
+            s_ab = s[:, 0:tri_block]
+            s_bc = s[:, tri_block : 2 * tri_block]
+            s_ca = s[:, 2 * tri_block : 3 * tri_block]
+            num2 = s[:, 3 * tri_block :]  # t * det (plane columns negated)
+
+            det = s_ab + s_bc + s_ca
+            parallel = det == 0.0
+            inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+            t = num2 * inv_det
+            u = s_ca * inv_det
+            v = s_ab * inv_det
+            accept = (
+                ~parallel
+                & (u >= -EPS)
+                & (u <= 1.0 + EPS)
+                & (v >= -EPS)
+                & (u + v <= 1.0 + EPS)
+                & (t >= -EPS)
+            )
+            t_m = jnp.where(accept, t, F_MAX)
+            blk_min = jnp.min(t_m, axis=1, keepdims=True)
+            local_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None]
+
+            # ascending-block visit order + strict < == lexicographic
+            # (t, idx) tie-break, matching the other engines
+            improve = blk_min < best_t
+
+            def select(carry):
+                best_t, attrs = carry
+                acols = pl.ds(pl.multiple_of(blk * tri_block, tri_block), tri_block)
+                slab = attr_ref[:, acols]  # (8, TB)
+                onehot = (col_iota == local_arg).astype(jnp.float32)  # (R, TB)
+                sel = [
+                    jnp.sum(onehot * slab[k : k + 1, :], axis=1, keepdims=True)
+                    for k in range(7)
+                ]
+                new_attrs = jnp.concatenate(sel, axis=1)  # (R, 7)
+                return (
+                    jnp.where(improve, blk_min, best_t),
+                    jnp.where(improve, new_attrs, attrs),
+                )
+
+            return jax.lax.cond(jnp.any(improve), select, lambda c: c, (best_t, attrs))
+
+        return jax.lax.cond(jnp.any(box_hit), compute, lambda c: c, (best_t, attrs))
+
+    best_t, attrs = jax.lax.fori_loop(
+        0,
+        n_blocks,
+        visit,
+        (jnp.full((r, 1), F_MAX, jnp.float32), jnp.zeros((r, 7), jnp.float32)),
+    )
+    return best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7]
+
+
+def _megakernel(
+    aabb_ref,  # SMEM (nb, 8)
+    margin_ref,  # SMEM (1,)
+    w_ref,  # (R, 16) primary pack [d, o x d, o, -1, 1, 0...]
+    prim_ref,  # (R, 8) primary hit [t, nx, ny, nz, mt, r, g, b]
+    u_ref,  # (R, 4*B) uniforms, bounce-major
+    ops_ref,  # (16, 4*T)
+    attr_ref,  # (8, T)
+    out_ref,  # (R, 4)
+    *,
+    tri_block: int,
+    n_blocks: int,
+    max_bounces: int,
+    parity: bool,
+    use_primary: bool,
+):
+    r = w_ref.shape[0]
+    margin = margin_ref[0]
+    orig = w_ref[:, 6:9]
+    dirn = w_ref[:, 0:3]
+    color = jnp.ones((r, 3), jnp.float32)
+    remaining = jnp.full((r, 1), float(max_bounces), jnp.float32)
+
+    for b in range(max_bounces):
+        if b == 0 and use_primary:
+            t = prim_ref[:, 0:1]
+            n = prim_ref[:, 1:4]
+            mt = prim_ref[:, 4:5]
+            mc = prim_ref[:, 5:8]
+        else:
+            t, n, mt, mc = _trace_inkernel(
+                orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
+                tri_block, n_blocks,
+            )
+        u = u_ref[:, 4 * b : 4 * b + 4]
+        orig, dirn, color, remaining = _shade_inkernel(
+            orig, dirn, color, remaining, t, n, mt, mc, u, parity
+        )
+
+    out = jnp.concatenate(
+        [jnp.sqrt(jnp.maximum(color, 0.0)), jnp.zeros((r, 1), jnp.float32)], axis=1
+    )
+    out_ref[:] = out
+
+
+def _sample_pallas_call(
+    world: WorldTriangles,
+    w16: jax.Array,  # (N, 16)
+    prim: jax.Array,  # (N, 8)
+    uniforms: jax.Array,  # (N, 4*B)
+    margin: jax.Array,  # () f32
+    max_bounces: int,
+    parity: bool,
+    use_primary: bool,
+    ray_tile: int = RAY_TILE,
+) -> jax.Array:
+    n = w16.shape[0]
+    nb = world.block_aabb.shape[0]
+    tri_block = world.fused_ops.shape[1] // (4 * nb)
+    assert n % ray_tile == 0, (n, ray_tile)
+    nt = n // ray_tile
+    ucols = uniforms.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((ray_tile, 16), lambda i, A, M: (i, 0)),
+            pl.BlockSpec((ray_tile, 8), lambda i, A, M: (i, 0)),
+            pl.BlockSpec((ray_tile, ucols), lambda i, A, M: (i, 0)),
+            pl.BlockSpec((16, world.fused_ops.shape[1]), lambda i, A, M: (0, 0)),
+            pl.BlockSpec((8, world.attr_rows.shape[1]), lambda i, A, M: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((ray_tile, 4), lambda i, A, M: (i, 0))],
+    )
+    (out,) = pl.pallas_call(
+        functools.partial(
+            _megakernel,
+            tri_block=tri_block,
+            n_blocks=nb,
+            max_bounces=max_bounces,
+            parity=parity,
+            use_primary=use_primary,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, 4), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * world.fused_ops.shape[1] * 16 * max_bounces,
+            bytes_accessed=n * (16 + 8 + ucols + 4) * 4 + world.fused_ops.size * 4,
+            transcendentals=n * max_bounces * 8,
+        ),
+        interpret=_interpret(),
+    )(
+        world.block_aabb, margin.reshape(1),
+        w16, prim, uniforms, world.fused_ops, world.attr_rows,
+    )
+    return out[:, 0:3]
+
+
+def _rng_tiling(n: int, n_pad: int, rng_tile: int = RNG_TILE):
+    """The other engines draw per-ray uniforms in tiles of
+    ``min(n, 8192)`` rays (``render_ray_array``); reproduce that tiling so
+    streams match per pixel.  Returns (tile_n, n_tiles)."""
+    if n <= rng_tile:
+        return n, 1
+    return rng_tile, -(-n // rng_tile)
+
+
+def _pad_rows(u: jax.Array, n_pad: int) -> jax.Array:
+    if u.shape[0] < n_pad:
+        return jnp.pad(u, ((0, n_pad - u.shape[0]), (0, 0)))
+    return u[:n_pad]
+
+
+def chunk_uniforms(
+    key: jax.Array,
+    sample_index,
+    max_bounces: int,
+    n: int,
+    n_pad: int,
+    tile_base=0,
+) -> jax.Array:
+    """(n_pad, 4*max_bounces) uniforms for one sample iteration, drawn from
+    the SAME per-ray-tile stream as ``ops.rng.tile_uniforms`` so the
+    megakernel's noise is per-pixel identical to the other engines'."""
+    tile_n, nt = _rng_tiling(n, n_pad)
+
+    def per_depth(depth):
+        kd = bounce_key(key, sample_index, depth)
+        keys = jax.vmap(lambda k: jax.random.fold_in(kd, k))(
+            tile_base + jnp.arange(nt)
+        )
+        u = jax.vmap(lambda kk: jax.random.uniform(kk, (tile_n, 4)))(keys)
+        return _pad_rows(u.reshape(-1, 4), n_pad)
+
+    return jnp.concatenate(
+        [per_depth(max_bounces - b) for b in range(max_bounces)], axis=1
+    )
+
+
+def render_samples_fused(
+    world: WorldTriangles,
+    ro: jax.Array,
+    rd: jax.Array,
+    key: jax.Array,
+    n_samples: int,
+    max_bounces: int,
+    sample_offset=0,
+    parity: bool = True,
+    tile_base=0,
+    jitter_step=None,
+    ray_tile: int = RAY_TILE,
+) -> jax.Array:
+    """Accumulate ``n_samples`` sample iterations with the megakernel;
+    returns (N, 3) contribution sums (pre-normalization).
+
+    The primary trace runs ONCE per chunk through the worklist kernel (the
+    reference's first-intersection cache, Renderer.cpp:594-613) unless
+    ``jitter_step`` enables the quality-mode AA camera, in which case every
+    sample re-traces its jittered primaries inside the megakernel.
+    """
+    from .trace import _slab_margin, trace_pallas
+    from ..ops.rng import camera_jitter_uniforms
+
+    n = ro.shape[0]
+    rd_n = normalize(rd)
+    pad = (-n) % ray_tile
+    if pad:
+        ro_p = jnp.pad(ro, ((0, pad), (0, 0)))
+        rd_p = jnp.pad(rd_n, ((0, pad), (0, 0)), constant_values=1.0)
+        rd_raw = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+    else:
+        ro_p, rd_p, rd_raw = ro, rd_n, rd
+    n_pad = ro_p.shape[0]
+    margin = _slab_margin(world.block_aabb)
+
+    use_primary = jitter_step is None
+
+    def pack_rays(rd_cur):
+        m = _cross3(ro_p, rd_cur)
+        return jnp.concatenate(
+            [rd_cur, m, ro_p, jnp.full((n_pad, 1), -1.0, jnp.float32),
+             jnp.ones((n_pad, 1), jnp.float32),
+             jnp.zeros((n_pad, 5), jnp.float32)],
+            axis=1,
+        )
+
+    if use_primary:
+        hits0 = trace_pallas(world, ro_p, rd_p)
+        prim = jnp.concatenate(
+            [
+                hits0.t[:, None],
+                hits0.normal,
+                hits0.mat_type.astype(jnp.float32)[:, None],
+                hits0.mat_color,
+            ],
+            axis=1,
+        )
+        w16 = pack_rays(rd_p)
+    else:
+        prim = jnp.zeros((n_pad, 8), jnp.float32)
+
+    def body(i, acc):
+        s = sample_offset + i
+        u = chunk_uniforms(key, s, max_bounces, n, n_pad, tile_base)
+        if use_primary:
+            w = w16
+        else:
+            tile_n, nt = _rng_tiling(n, n_pad)
+            ju = jax.vmap(
+                lambda k: camera_jitter_uniforms(key, s, k, tile_n)
+            )(tile_base + jnp.arange(nt)).reshape(-1, 2)
+            ju = _pad_rows(ju, n_pad)
+            # jitter offsets apply to the UNNORMALIZED image-plane direction
+            # (rd = pix - eye, Renderer.cpp:548), matching _render_tile
+            rd_s = rd_raw + jnp.concatenate(
+                [ju[:, 0:1] * jitter_step[0], ju[:, 1:2] * jitter_step[1],
+                 jnp.zeros((n_pad, 1), jnp.float32)], axis=1,
+            )
+            w = pack_rays(normalize(rd_s))
+        contrib = _sample_pallas_call(
+            world, w, prim, u, margin, max_bounces, parity, use_primary,
+            ray_tile=ray_tile,
+        )
+        return acc + contrib
+
+    acc = jax.lax.fori_loop(
+        0, n_samples, body, jnp.zeros((n_pad, 3), jnp.float32)
+    )
+    return acc[:n]

@@ -213,7 +213,6 @@ def render_accumulate(
     fused in-jit bake crashes the TPU fusion pass and recompiles per call).
     """
     ro, rd = generate_rays(camera, resolution)
-    tracer = _make_tracer(scene, engine, world=world)
     n = ro.shape[0]
 
     # quality-mode AA: per-sample sub-pixel jitter on the image plane; the
@@ -225,6 +224,26 @@ def render_accumulate(
             (camera.plane_x[1] - camera.plane_x[0]) / w_res,
             (camera.plane_y[1] - camera.plane_y[0]) / h_res,
         )
+
+    if engine == "fused":
+        # megakernel path: the whole bounce loop runs inside one Pallas
+        # kernel per sample; no XLA-level ray tiling needed (the kernel grid
+        # tiles rays itself)
+        from ..pallas.megakernel import render_samples_fused
+
+        if world is None:
+            world = bake_world_triangles(scene)
+        acc = render_samples_fused(
+            world, ro, rd, key,
+            n_samples=n_samples, max_bounces=max_bounces,
+            sample_offset=sample_offset, parity=parity,
+            jitter_step=jitter_step,
+        )
+        if init_accum is not None:
+            acc = acc + init_accum
+        return acc
+
+    tracer = _make_tracer(scene, engine, world=world)
 
     render_tile = functools.partial(
         _render_tile,
@@ -255,7 +274,7 @@ class Renderer:
         # bake once per scene; jitted so it runs on-device
         self.world = (
             jax.jit(bake_world_triangles)(scene)
-            if config.engine in ("mxu", "pallas")
+            if config.engine in ("mxu", "pallas", "fused")
             else None
         )
 

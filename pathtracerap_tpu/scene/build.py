@@ -24,6 +24,23 @@ from .types import Material, MaterialType, SceneHost
 
 REFERENCE_ASSET_DIR = "/root/reference/PathTracerAP/Input data"
 
+# Self-contained copies of the benchmark geometry live in the repo
+# (assets/meshes, re-exported through io.obj.save_obj); the read-only
+# reference checkout is only a fallback, so renders and tests work without
+# it mounted.
+REPO_ASSET_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets",
+    "meshes",
+)
+
+
+def default_asset_dir() -> str:
+    """Repo-local assets when present, else the reference checkout."""
+    if os.path.isdir(REPO_ASSET_DIR):
+        return REPO_ASSET_DIR
+    return REFERENCE_ASSET_DIR
+
 
 # ------------------------------------------------------------------ transforms
 def scale_matrix(s: Sequence[float]) -> np.ndarray:
@@ -224,7 +241,7 @@ class SceneBuilder:
 
 
 # ------------------------------------------------------- reference scene data
-def build_reference_scene(asset_dir: str = REFERENCE_ASSET_DIR) -> SceneHost:
+def build_reference_scene(asset_dir: Optional[str] = None) -> SceneHost:
     """The reference's hard-coded scene, expressed as data.
 
     3 meshes (enclosing_box, ceiling_light, blender_monkey; ``Scene.cpp:6-16``)
@@ -232,6 +249,8 @@ def build_reference_scene(asset_dir: str = REFERENCE_ASSET_DIR) -> SceneHost:
     material types of ``Scene.cpp:32-221`` in the exact push order (which
     fixes model iteration order in the intersector, ``Renderer.cpp:377``).
     """
+    if asset_dir is None:
+        asset_dir = default_asset_dir()
     b = SceneBuilder()
     box = b.add_mesh_file(os.path.join(asset_dir, "enclosing_box.obj"))
     light = b.add_mesh_file(os.path.join(asset_dir, "ceiling_light.obj"))

@@ -1,0 +1,69 @@
+"""Whole-sample megakernel engine vs the per-bounce engines.
+
+The megakernel consumes the same uniform stream as the other engines, so at
+matched configs the rendered images must agree per pixel (interpret mode on
+the CPU test backend runs the exact same kernel code that compiles on TPU).
+"""
+
+import numpy as np
+import pytest
+
+from pathtracerap_tpu.config import CameraConfig, RenderConfig
+from pathtracerap_tpu.render.wavefront import Renderer
+from pathtracerap_tpu.scene.build import build_cornell_box_scene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return build_cornell_box_scene().to_device()
+
+
+CAMERA = CameraConfig(
+    position=(0.0, 0.0, 150.0),
+    plane_x=(-40.0, 40.0),
+    plane_y=(-30.0, 30.0),
+    plane_z=100.0,
+)
+
+
+def _render(scene, engine, **over):
+    cfg = dict(
+        resolution=(16, 8), samples_per_pixel=4, max_bounces=3, camera=CAMERA
+    )
+    cfg.update(over)
+    return np.asarray(Renderer(scene, RenderConfig(engine=engine, **cfg)).render())
+
+
+def test_fused_matches_mxu_engine(scene):
+    img_f = _render(scene, "fused")
+    img_m = _render(scene, "mxu")
+    np.testing.assert_allclose(img_f, img_m, atol=1e-5)
+
+
+def test_fused_matches_pallas_engine(scene):
+    img_f = _render(scene, "fused")
+    img_p = _render(scene, "pallas")
+    np.testing.assert_allclose(img_f, img_p, atol=1e-5)
+
+
+def test_fused_more_bounces_and_odd_resolution(scene):
+    # resolution whose ray count is not a RAY_TILE multiple exercises the
+    # padding path; 5 bounces exercises the unrolled loop depth
+    over = dict(resolution=(19, 7), samples_per_pixel=2, max_bounces=5)
+    img_f = _render(scene, "fused", **over)
+    img_m = _render(scene, "mxu", **over)
+    np.testing.assert_allclose(img_f, img_m, atol=1e-5)
+
+
+def test_fused_quality_mode_jitter(scene):
+    cam = CameraConfig(
+        position=CAMERA.position,
+        plane_x=CAMERA.plane_x,
+        plane_y=CAMERA.plane_y,
+        plane_z=CAMERA.plane_z,
+        jitter=True,
+    )
+    over = dict(camera=cam, parity=False)
+    img_f = _render(scene, "fused", **over)
+    img_m = _render(scene, "mxu", **over)
+    np.testing.assert_allclose(img_f, img_m, atol=1e-5)

@@ -14,7 +14,7 @@ import pytest
 from pathtracerap_tpu import native
 from pathtracerap_tpu.io.bmp import read_bmp, write_bmp
 from pathtracerap_tpu.io.obj import load_obj
-from pathtracerap_tpu.scene.build import REFERENCE_ASSET_DIR
+from pathtracerap_tpu.scene.build import default_asset_dir
 from pathtracerap_tpu.scene.grid import build_uniform_grid
 
 pytestmark = pytest.mark.skipif(
@@ -22,7 +22,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 _REF_OBJS = [
-    os.path.join(REFERENCE_ASSET_DIR, n)
+    os.path.join(default_asset_dir(), n)
     for n in ("enclosing_box.obj", "ceiling_light.obj", "blender_monkey.obj")
 ]
 

@@ -6,7 +6,7 @@ import pytest
 from pathtracerap_tpu import constants
 from pathtracerap_tpu.io.obj import load_obj
 from pathtracerap_tpu.scene.build import (
-    REFERENCE_ASSET_DIR,
+    default_asset_dir,
     build_cornell_box_scene,
     build_reference_scene,
     rotation_y_matrix,
@@ -16,13 +16,14 @@ from pathtracerap_tpu.scene.grid import build_uniform_grid, grids_to_ell
 
 import os
 
-HAVE_ASSETS = os.path.isdir(REFERENCE_ASSET_DIR)
+ASSET_DIR = default_asset_dir()
+HAVE_ASSETS = os.path.isdir(ASSET_DIR)
 needs_assets = pytest.mark.skipif(not HAVE_ASSETS, reason="reference assets not mounted")
 
 
 @needs_assets
 def test_load_monkey_obj():
-    mesh = load_obj(os.path.join(REFERENCE_ASSET_DIR, "blender_monkey.obj"))
+    mesh = load_obj(os.path.join(ASSET_DIR, "blender_monkey.obj"))
     # 967 pre-triangulated faces (SURVEY.md C19)
     assert mesh.num_triangles == 967
     # positions scaled by BASE_MODEL_SCALE (Scene.cpp:255-262)
@@ -36,9 +37,9 @@ def test_load_monkey_obj():
 
 @needs_assets
 def test_load_box_obj_counts():
-    mesh = load_obj(os.path.join(REFERENCE_ASSET_DIR, "enclosing_box.obj"))
+    mesh = load_obj(os.path.join(ASSET_DIR, "enclosing_box.obj"))
     assert mesh.num_triangles == 60  # SURVEY.md C19: 60 faces
-    light = load_obj(os.path.join(REFERENCE_ASSET_DIR, "ceiling_light.obj"))
+    light = load_obj(os.path.join(ASSET_DIR, "ceiling_light.obj"))
     assert light.num_triangles == 12
 
 
