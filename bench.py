@@ -46,7 +46,7 @@ def main() -> None:
         resolution=resolution,
         samples_per_pixel=spp,
         max_bounces=max_bounces,
-        engine="pallas",
+        engine="fused",
     )
     r = Renderer(scene, cfg)
 
@@ -66,6 +66,32 @@ def main() -> None:
     sanity = float(img.mean())
     assert 0.01 < sanity < 1.0, f"render sanity check failed: mean={sanity}"
 
+    # fwd+bwd: one SGD step of the inverse renderer (pixel-loss grads via
+    # the Pallas-forward/recompute-backward diff path, diff/fast.py) on the
+    # same scene; BASELINE metric line is "Mrays/s/chip fwd+bwd"
+    import jax.random as jrandom
+
+    from pathtracerap_tpu.diff.grad import extract_params, make_train_step
+
+    bwd_spp = 2
+    step = make_train_step(
+        scene, cfg.camera, resolution, bwd_spp, max_bounces, tile_size=8192
+    )
+    params = extract_params(scene, ("mat_color",))
+    key = jrandom.PRNGKey(0)
+    target = jnp.zeros((resolution[0] * resolution[1], 3), jnp.float32)
+    loss, _ = step(params, target, key)  # compile + warmup
+    float(loss)
+    tb = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        loss, _ = step(params, target, key)
+        float(loss)
+        tb.append(time.perf_counter() - t0)
+    rays_b = resolution[0] * resolution[1] * bwd_spp * max_bounces
+    mrays_b = rays_b / min(tb) / 1e6
+    assert float(loss) > 0.0 and jnp.isfinite(loss)
+
     print(
         json.dumps(
             {
@@ -73,6 +99,8 @@ def main() -> None:
                 "value": round(mrays, 2),
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / 100.0, 4),
+                "fwd_bwd_mrays_per_s": round(mrays_b, 2),
+                "engine": cfg.engine,
             }
         )
     )

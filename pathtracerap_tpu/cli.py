@@ -72,16 +72,58 @@ def _add_common(p):
     p.add_argument("--engine", default="", choices=["", "parity", "mxu", "pallas", "fused"])
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--samples-per-chunk", type=int, default=0)
+    # multi-host / multi-device entry (SURVEY.md section 5 "distributed
+    # communication backend"); values default to JAX_* env vars
+    p.add_argument("--distributed", action="store_true",
+                   help="jax.distributed.initialize before device use")
+    p.add_argument("--coordinator", default="",
+                   help="coordinator host:port (JAX_COORDINATOR_ADDRESS)")
+    p.add_argument("--num-processes", type=int, default=0)
+    p.add_argument("--process-id", type=int, default=-1)
+
+
+def _maybe_init_distributed(args):
+    if getattr(args, "distributed", False):
+        from .parallel.distributed import init_distributed
+
+        info = init_distributed(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id if args.process_id >= 0 else None,
+        )
+        if info["process_index"] == 0:
+            print(f"[distributed] {json.dumps(info)}", file=sys.stderr, flush=True)
+        return info
+    return None
 
 
 def cmd_render(args):
     import numpy as np
+
+    _maybe_init_distributed(args)
 
     from .io.bmp import quantize_image, write_bmp
     from .render.wavefront import Renderer
     from .utils.metrics import MetricsLogger
 
     scene, cfg = _load_scene(args)
+
+    if getattr(args, "distributed", False) or args.dp:
+        # multi-device / multi-host DP render over the global mesh
+        import jax
+
+        from .parallel.sharding import default_mesh, render_image_dp
+
+        mesh = default_mesh()
+        image = np.asarray(render_image_dp(scene.to_device(), cfg, mesh=mesh,
+                                           seed=cfg.seed))
+        if jax.process_index() == 0:
+            accum = image * cfg.samples_per_pixel
+            write_bmp(args.out, quantize_image(accum, cfg.samples_per_pixel),
+                      parity=not args.standard_bmp)
+            if not args.quiet:
+                print(f"wrote {args.out} (DP over {mesh.devices.size} devices)")
+        return 0
     renderer = Renderer(scene.to_device(), cfg)
     metrics = MetricsLogger(cfg, enabled=not args.quiet)
     image = renderer.render(checkpoint_path=args.checkpoint, metrics=metrics)
@@ -98,9 +140,24 @@ def cmd_render(args):
 def cmd_benchmark(args):
     import numpy as np
 
+    _maybe_init_distributed(args)
+
     from .render.wavefront import Renderer
 
     scene, cfg = _load_scene(args)
+
+    if args.scaling:
+        from .parallel.distributed import scaling_report
+
+        rep = scaling_report(scene.to_device(), cfg)
+        print(json.dumps(rep, indent=2))
+        return 0
+
+    if args.suite:
+        from .bench_suite import run_suite
+
+        print(json.dumps(run_suite(args.suite), indent=2))
+        return 0
     renderer = Renderer(scene.to_device(), cfg)
     np.asarray(renderer.render())  # warmup/compile
     times = []
@@ -197,6 +254,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("render", help="render a scene to BMP")
     _add_common(p)
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel render over all local devices")
     p.add_argument("--out", default="Render.bmp")
     p.add_argument("--checkpoint", default="", help="checkpoint file for resume")
     p.add_argument("--standard-bmp", action="store_true",
@@ -207,6 +266,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("benchmark", help="measure render throughput")
     _add_common(p)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--scaling", action="store_true",
+                   help="scaling-efficiency table at 1,2,4,... devices")
+    p.add_argument("--suite", default="",
+                   help="run a named benchmark suite: 'baseline' = the four "
+                        "BASELINE.json forward configs")
     p.set_defaults(fn=cmd_benchmark)
 
     p = sub.add_parser("invert", help="inverse rendering (fit material colors)")

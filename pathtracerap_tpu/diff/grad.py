@@ -46,6 +46,9 @@ def apply_params(scene: SceneDevice, params: Dict) -> SceneDevice:
     return scene.replace(**params)
 
 
+DEFAULT_DIFF_ENGINE = "pallas"
+
+
 def render_for_params(
     params: Dict,
     scene: SceneDevice,
@@ -58,12 +61,29 @@ def render_for_params(
     ro=None,
     rd=None,
     tile_base=0,
+    engine: str = DEFAULT_DIFF_ENGINE,
+    parity: bool = True,
 ) -> jax.Array:
     """(N, 3) image (mean contribution) as a differentiable function of
-    ``params``.  ``ro``/``rd`` may be passed for pre-sharded ray slices."""
+    ``params``.  ``ro``/``rd`` may be passed for pre-sharded ray slices.
+
+    ``engine="pallas"`` (default) traces through
+    :func:`diff.fast.trace_pallas_diff` — Pallas-kernel forward speed with
+    the backward recomputed at the frozen argmin; ``engine="mxu"`` differentiates
+    straight through the XLA matmul engine (the r1 path, kept for
+    cross-checking gradients).  ``parity=False`` enables the quality-mode
+    cosine throughput factor so color carries vertex gradients
+    (render/shade.py)."""
     s = apply_params(scene, params)
     world = bake_world_triangles(s)
-    tracer = _make_tracer(s, "mxu", world=world)
+    if engine == "pallas":
+        from .fast import trace_pallas_diff
+
+        tracer = lambda ro_, rd_, alive=None: trace_pallas_diff(
+            world, ro_, rd_, alive=alive
+        )
+    else:
+        tracer = _make_tracer(s, engine, world=world)
     if ro is None:
         ro, rd = generate_rays(camera, resolution)
     render_tile = functools.partial(
@@ -72,7 +92,7 @@ def render_for_params(
         key=key,
         n_samples=n_samples,
         max_bounces=max_bounces,
-        parity=True,
+        parity=parity,
         sample_offset=0,
         scene=s,
     )
@@ -94,11 +114,14 @@ def image_loss(
     rd=None,
     tile_base=0,
     reduce: str = "mean",
+    engine: str = DEFAULT_DIFF_ENGINE,
+    parity: bool = True,
 ) -> jax.Array:
     """Squared pixel loss vs an (N, 3) target."""
     img = render_for_params(
         params, scene, key, camera, resolution, n_samples, max_bounces,
         tile_size=tile_size, ro=ro, rd=rd, tile_base=tile_base,
+        engine=engine, parity=parity,
     )
     err = (img - target) ** 2
     return jnp.mean(err) if reduce == "mean" else jnp.sum(err)
@@ -163,6 +186,8 @@ def make_train_step(
     max_bounces: int,
     lr: float = 0.05,
     tile_size: int = 2048,
+    engine: str = DEFAULT_DIFF_ENGINE,
+    parity: bool = True,
 ):
     """Single-device SGD step on the pixel loss; returns jitted
     ``step(params, target, key) -> (loss, new_params)``."""
@@ -171,7 +196,7 @@ def make_train_step(
     def step(params, target, key):
         loss, grads = jax.value_and_grad(image_loss)(
             params, scene, target, key, camera, resolution, n_samples, max_bounces,
-            tile_size=tile_size,
+            tile_size=tile_size, engine=engine, parity=parity,
         )
         new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
         return loss, new_params
@@ -188,9 +213,18 @@ def make_sharded_train_step(
     mesh: Mesh,
     lr: float = 0.05,
     tile_size: int = 2048,
+    engine: str = DEFAULT_DIFF_ENGINE,
+    overlap_chunks: int = 1,
 ):
     """Multi-device train step: rays sharded over the ``rays`` axis,
     loss/grads psum-reduced, parameters updated replicated.
+
+    ``overlap_chunks > 1`` splits each device's rays into that many
+    segments and psum-reduces each segment's gradients INSIDE the segment
+    scan — the all-reduce of chunk i rides ICI while chunk i+1's
+    forward/backward computes (the north star's "gradient all-reduce
+    overlapped with the backward bounce sweep").  Results are identical to
+    the single-psum step up to f32 summation order.
 
     Returns jitted ``step(params, target_flat, key) -> (loss, new_params)``
     where ``target_flat`` is the (N, 3) target image in ray order.
@@ -199,25 +233,57 @@ def make_sharded_train_step(
     ro, rd = generate_rays(camera, resolution)
     n = ro.shape[0]
     per_dev = -(-n // n_dev)
-    per_dev = -(-per_dev // tile_size) * tile_size
+    per_dev = -(-per_dev // (tile_size * overlap_chunks)) * (
+        tile_size * overlap_chunks
+    )
     n_pad = per_dev * n_dev
     ro = jnp.pad(ro, ((0, n_pad - n), (0, 0)))
     rd = jnp.pad(rd, ((0, n_pad - n), (0, 0)), constant_values=1.0)
     tiles_per_dev = per_dev // tile_size
+    tiles_per_chunk = tiles_per_dev // overlap_chunks
+    rays_per_chunk = per_dev // overlap_chunks
 
     def local_step(params, scene_l, target_l, key_l, ro_l, rd_l):
         tile_base = jax.lax.axis_index("rays") * tiles_per_dev
 
-        def local_loss(p):
+        def chunk_loss(p, ro_c, rd_c, target_c, base_c):
             return image_loss(
-                p, scene_l, target_l, key_l, camera, resolution,
+                p, scene_l, target_c, key_l, camera, resolution,
                 n_samples, max_bounces, tile_size=tile_size,
-                ro=ro_l, rd=rd_l, tile_base=tile_base, reduce="sum",
+                ro=ro_c, rd=rd_c, tile_base=base_c, reduce="sum",
+                engine=engine,
             )
 
-        loss, grads = jax.value_and_grad(local_loss)(params)
-        loss = jax.lax.psum(loss, "rays")
-        grads = jax.lax.psum(grads, "rays")
+        if overlap_chunks == 1:
+            loss, grads = jax.value_and_grad(chunk_loss)(
+                params, ro_l, rd_l, target_l, tile_base
+            )
+            loss = jax.lax.psum(loss, "rays")
+            grads = jax.lax.psum(grads, "rays")
+        else:
+            ro_cs = ro_l.reshape(overlap_chunks, rays_per_chunk, 3)
+            rd_cs = rd_l.reshape(overlap_chunks, rays_per_chunk, 3)
+            t_cs = target_l.reshape(overlap_chunks, rays_per_chunk, 3)
+
+            def body(carry, inp):
+                acc_loss, acc_grads, k = carry
+                ro_c, rd_c, t_c = inp
+                l_c, g_c = jax.value_and_grad(chunk_loss)(
+                    params, ro_c, rd_c, t_c, tile_base + k * tiles_per_chunk
+                )
+                # per-chunk all-reduce: XLA's async collectives overlap
+                # this psum with the next chunk's compute
+                l_c = jax.lax.psum(l_c, "rays")
+                g_c = jax.lax.psum(g_c, "rays")
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, g_c)
+                return (acc_loss + l_c, acc_grads, k + 1), None
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (loss, grads, _), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), zero_g, jnp.int32(0)),
+                (ro_cs, rd_cs, t_cs),
+            )
+
         new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
         return loss, new_params
 

@@ -47,6 +47,14 @@ class HitRecord:
     normal: jax.Array  # (N, 3) world-space shading normal
     mat_type: jax.Array  # (N,) i32
     mat_color: jax.Array  # (N, 3)
+    # World-space unit GEOMETRIC normal (from vertex positions, not stored
+    # vertex normals).  Only quality-mode shading reads it — its cosine
+    # throughput factor must be a function of vertex POSITIONS for color to
+    # carry vertex gradients (the shading normal is built from stored
+    # vertex normals, and dot(cosine_sample(n), n) == sqrt(u0) exactly, so
+    # using it would make the factor geometry-free).  None => shading
+    # normal fallback (parity DDA engine).
+    geom_normal: jax.Array | None = None
 
     @property
     def hit(self) -> jax.Array:

@@ -162,6 +162,12 @@ def bake_world_triangles(
     )
 
     tw = a.shape[0]
+    # The fused operand pack is held whole in VMEM by the worklist kernel
+    # and the megakernel; above ~16k triangles it no longer fits alongside
+    # the compute transients, so big scenes automatically fall back to the
+    # dense blocked-DMA kernel (fused_ops=None path).
+    if fused_tile is not None and tw > 16384:
+        fused_tile = None
     if fused_tile is not None:
         assert fused_tile % pad_to == 0, (fused_tile, pad_to)
         pad_to = fused_tile
@@ -251,16 +257,20 @@ def bake_world_triangles(
             [b_min - b_pad, b_max + b_pad, jnp.zeros((nb, 2), jnp.float32)], axis=-1
         )  # (nb, 8)
         # per-triangle shading attributes as rows, for the megakernel's
-        # in-kernel argmin select: [nx, ny, nz, mat_type, r, g, b, 0]
+        # in-kernel argmin select: [shade_n(0:3), mat_type(3), rgb(4:7),
+        # geom_n(7:10), 0(10:16)] — geometric normal rows are selected only
+        # in quality mode (cosine factor, render/shade.py)
+        geom_n = normalize(n, eps=1e-30)
         attr_rows = jnp.concatenate(
             [
                 padt(shade_n).T,
                 padt(mat_type.astype(jnp.float32))[None, :],
                 padt(mat_color).T,
-                jnp.zeros((1, t_pad), jnp.float32),
+                padt(geom_n).T,
+                jnp.zeros((6, t_pad), jnp.float32),
             ],
             axis=0,
-        )  # (8, T)
+        )  # (16, T)
 
     return WorldTriangles(
         edge_pluecker=edge_pluecker,
@@ -366,4 +376,7 @@ def trace_mxu(
         normal=jnp.where(hit[:, None], world.shade_normal[idx], 0.0),
         mat_type=jnp.where(hit, world.mat_type[idx], 0),
         mat_color=jnp.where(hit[:, None], world.mat_color[idx], 0.0),
+        geom_normal=jnp.where(
+            hit[:, None], normalize(world.plane_n[idx], eps=1e-30), 0.0
+        ),
     )

@@ -88,7 +88,10 @@ def _mm(a, b):
     b_hi = b.astype(jnp.bfloat16)
     b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+    # chained adds keep at most two (R, 4*TB) f32 partials live in VMEM
+    s = dot(a_lo, b_hi)
+    s = s + dot(a_hi, b_lo)
+    return s + dot(a_hi, b_hi)
 
 _MT_DIFFUSE = float(int(MaterialType.DIFFUSE))
 _MT_REFLECTIVE = float(int(MaterialType.REFLECTIVE))
@@ -181,7 +184,7 @@ def _coat_scatter(n, d, u0, u1, u2, parity: bool):
     return jnp.where(u0 < constants.COAT_REFLECT_PROBABILITY, mirror, diffuse)
 
 
-def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, u, parity: bool):
+def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity: bool):
     """One wavefront shading step on VMEM slabs — port of
     :func:`render.shade.shade` (shadeRayKernel, Renderer.cpp:411-479)."""
     alive = remaining > 0.0
@@ -218,6 +221,11 @@ def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, u, parity: bool)
 
     orig = jnp.where(upd_dir, spawn, orig)
     dirn = jnp.where(upd_dir, new_dir, dirn)
+    if not parity:
+        # quality-mode cosine factor against the geometric normal
+        # (Renderer.cpp:438) — see render/shade.py
+        cosf = _dot3(dir_diffuse, gn)
+        mc = mc * jnp.where(is_diffuse, jnp.maximum(cosf, 0.0), 1.0)
     color = jnp.where(upd_col, color * mc, color)
     missed = alive & ~hit
     color = jnp.where(missed, color * constants.MISS_ATTENUATION, color)
@@ -230,7 +238,7 @@ def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, u, parity: bool)
 
 def _trace_inkernel(
     orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
-    tri_block: int, n_blocks: int
+    tri_block: int, n_blocks: int, n_attrs: int = 7
 ):
     """Nearest hit + attribute select for the live wavefront, all in VMEM.
 
@@ -305,13 +313,13 @@ def _trace_inkernel(
             def select(carry):
                 best_t, attrs = carry
                 acols = pl.ds(pl.multiple_of(blk * tri_block, tri_block), tri_block)
-                slab = attr_ref[:, acols]  # (8, TB)
+                slab = attr_ref[:, acols]  # (16, TB)
                 onehot = (col_iota == local_arg).astype(jnp.float32)  # (R, TB)
                 sel = [
                     jnp.sum(onehot * slab[k : k + 1, :], axis=1, keepdims=True)
-                    for k in range(7)
+                    for k in range(n_attrs)
                 ]
-                new_attrs = jnp.concatenate(sel, axis=1)  # (R, 7)
+                new_attrs = jnp.concatenate(sel, axis=1)  # (R, n_attrs)
                 return (
                     jnp.where(improve, blk_min, best_t),
                     jnp.where(improve, new_attrs, attrs),
@@ -325,19 +333,21 @@ def _trace_inkernel(
         0,
         n_blocks,
         visit,
-        (jnp.full((r, 1), F_MAX, jnp.float32), jnp.zeros((r, 7), jnp.float32)),
+        (jnp.full((r, 1), F_MAX, jnp.float32),
+         jnp.zeros((r, n_attrs), jnp.float32)),
     )
-    return best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7]
+    gn = attrs[:, 7:10] if n_attrs >= 10 else attrs[:, 0:3]
+    return best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7], gn
 
 
 def _megakernel(
     aabb_ref,  # SMEM (nb, 8)
     margin_ref,  # SMEM (1,)
     w_ref,  # (R, 16) primary pack [d, o x d, o, -1, 1, 0...]
-    prim_ref,  # (R, 8) primary hit [t, nx, ny, nz, mt, r, g, b]
+    prim_ref,  # (R, 12) primary hit [t, shade_n(3), mt, rgb(3), geom_n(3), 0]
     u_ref,  # (R, 4*B) uniforms, bounce-major
     ops_ref,  # (16, 4*T)
-    attr_ref,  # (8, T)
+    attr_ref,  # (16, T)
     out_ref,  # (R, 4)
     *,
     tri_block: int,
@@ -352,6 +362,8 @@ def _megakernel(
     dirn = w_ref[:, 0:3]
     color = jnp.ones((r, 3), jnp.float32)
     remaining = jnp.full((r, 1), float(max_bounces), jnp.float32)
+    # quality mode additionally selects the geometric-normal rows
+    n_attrs = 7 if parity else 10
 
     for b in range(max_bounces):
         if b == 0 and use_primary:
@@ -359,14 +371,15 @@ def _megakernel(
             n = prim_ref[:, 1:4]
             mt = prim_ref[:, 4:5]
             mc = prim_ref[:, 5:8]
+            gn = prim_ref[:, 8:11]
         else:
-            t, n, mt, mc = _trace_inkernel(
+            t, n, mt, mc, gn = _trace_inkernel(
                 orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
-                tri_block, n_blocks,
+                tri_block, n_blocks, n_attrs=n_attrs,
             )
         u = u_ref[:, 4 * b : 4 * b + 4]
         orig, dirn, color, remaining = _shade_inkernel(
-            orig, dirn, color, remaining, t, n, mt, mc, u, parity
+            orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity
         )
 
     out = jnp.concatenate(
@@ -398,10 +411,10 @@ def _sample_pallas_call(
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((ray_tile, 16), lambda i, A, M: (i, 0)),
-            pl.BlockSpec((ray_tile, 8), lambda i, A, M: (i, 0)),
+            pl.BlockSpec((ray_tile, 12), lambda i, A, M: (i, 0)),
             pl.BlockSpec((ray_tile, ucols), lambda i, A, M: (i, 0)),
             pl.BlockSpec((16, world.fused_ops.shape[1]), lambda i, A, M: (0, 0)),
-            pl.BlockSpec((8, world.attr_rows.shape[1]), lambda i, A, M: (0, 0)),
+            pl.BlockSpec((16, world.attr_rows.shape[1]), lambda i, A, M: (0, 0)),
         ],
         out_specs=[pl.BlockSpec((ray_tile, 4), lambda i, A, M: (i, 0))],
     )
@@ -421,6 +434,9 @@ def _sample_pallas_call(
             bytes_accessed=n * (16 + 8 + ucols + 4) * 4 + world.fused_ops.size * 4,
             transcendentals=n * max_bounces * 8,
         ),
+        # the default 16 MB scoped-vmem budget cannot hold the operand pack
+        # plus two (R, 4*TB) f32 partials; v5e has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(
         world.block_aabb, margin.reshape(1),
@@ -525,12 +541,14 @@ def render_samples_fused(
                 hits0.normal,
                 hits0.mat_type.astype(jnp.float32)[:, None],
                 hits0.mat_color,
+                hits0.geom_normal,
+                jnp.zeros((n_pad, 1), jnp.float32),
             ],
             axis=1,
         )
         w16 = pack_rays(rd_p)
     else:
-        prim = jnp.zeros((n_pad, 8), jnp.float32)
+        prim = jnp.zeros((n_pad, 12), jnp.float32)
 
     def body(i, acc):
         s = sample_offset + i

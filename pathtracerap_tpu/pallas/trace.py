@@ -436,7 +436,8 @@ def trace_pallas(
     ray_tile: int = RAY_TILE,
     tri_block: int = TRI_BLOCK,
     cull: bool = True,
-) -> HitRecord:
+    return_idx: bool = False,
+):
     """Full-scene nearest hit via the fused kernel; same result contract as
     ``ops.plucker.trace_mxu``.  ``alive`` (N,) bool lets the kernel skip
     triangle blocks (and whole dead tiles) for terminated lanes — the
@@ -493,9 +494,15 @@ def trace_pallas(
     idx = jnp.maximum(idx[:n], 0)
 
     hit = t < F_MAX
-    return HitRecord(
+    rec = HitRecord(
         t=t,
         normal=jnp.where(hit[:, None], world.shade_normal[idx], 0.0),
         mat_type=jnp.where(hit, world.mat_type[idx], 0),
         mat_color=jnp.where(hit[:, None], world.mat_color[idx], 0.0),
+        geom_normal=jnp.where(
+            hit[:, None], normalize(world.plane_n[idx], eps=1e-30), 0.0
+        ),
     )
+    if return_idx:
+        return rec, idx
+    return rec

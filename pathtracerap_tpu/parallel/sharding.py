@@ -65,6 +65,11 @@ def render_accumulate_dp(
     ``d * tiles_per_device``.
     """
     n_dev = mesh.devices.size
+    if engine == "fused":
+        # the megakernel path manages its own RNG tiling; under DP the
+        # per-bounce pallas engine keeps per-tile RNG streams aligned with
+        # the single-device renderer, so use it for sharded runs
+        engine = "pallas"
     ro, rd = generate_rays(camera, resolution)
     n = ro.shape[0]
 
@@ -121,15 +126,16 @@ def render_image_dp(
     mesh: Optional[Mesh] = None,
     world=None,
     tile_size: int = 2048,
+    seed: Optional[int] = None,
 ):
     """Full multi-device render; returns the (H, W, 3) float image."""
     from ..ops.plucker import bake_world_triangles
 
     if mesh is None:
         mesh = default_mesh()
-    if world is None and config.engine == "mxu":
+    if world is None and config.engine in ("mxu", "pallas", "fused"):
         world = jax.jit(bake_world_triangles)(scene)
-    key = jax.random.PRNGKey(config.seed)
+    key = jax.random.PRNGKey(config.seed if seed is None else seed)
     acc = _render_dp_jit(
         scene,
         key,

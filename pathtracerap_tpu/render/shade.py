@@ -95,7 +95,17 @@ def shade(state: RayState, hits: HitRecord, uniforms: jax.Array, parity: bool = 
 
     new_orig = jnp.where(upd_dir[:, None], spawn, state.orig)
     new_direction = jnp.where(upd_dir[:, None], new_dir, state.dir)
-    color = jnp.where(upd_col[:, None], state.color * hits.mat_color, state.color)
+    mat_c = hits.mat_color
+    if not parity:
+        # quality mode restores the cosine throughput factor the reference
+        # commented out (Renderer.cpp:438: `* dot(normalize(dir), normal)`)
+        # — against the GEOMETRIC normal, so pixel color carries real
+        # vertex-position gradients (see HitRecord.geom_normal; against the
+        # shading normal the factor is identically sqrt(u0)).
+        gn = hits.geom_normal if hits.geom_normal is not None else n
+        cosf = jnp.sum(dir_diffuse * gn, axis=-1, keepdims=True)
+        mat_c = mat_c * jnp.where(is_diffuse[:, None], jnp.maximum(cosf, 0.0), 1.0)
+    color = jnp.where(upd_col[:, None], state.color * mat_c, state.color)
 
     # miss: 0.01 ambient attenuation + kill (Renderer.cpp:471-477)
     missed = alive & ~hit

@@ -77,24 +77,33 @@ def render_sample(
     # max_bounces times.  Compile time through the remote TPU compile
     # tunnel is dominated by per-instance Mosaic kernel compiles, so this
     # is a ~3x compile-time lever at identical runtime semantics.
-    hits0 = (
-        primary_hits
-        if primary_hits is not None
-        else tracer(state.orig, state.dir, alive=state.remaining > 0)
-    )
-    u0 = tile_uniforms(key, sample_index, max_bounces, tile_index, n)
-    state = shade(state, hits0, u0, parity=parity)
+    from ..utils.profiling import annotate
+
+    with annotate("trace_primary"):
+        hits0 = (
+            primary_hits
+            if primary_hits is not None
+            else tracer(state.orig, state.dir, alive=state.remaining > 0)
+        )
+    with annotate("rng"):
+        u0 = tile_uniforms(key, sample_index, max_bounces, tile_index, n)
+    with annotate("shade"):
+        state = shade(state, hits0, u0, parity=parity)
 
     def bounce_body(b, st):
-        hits = tracer(st.orig, st.dir, alive=st.remaining > 0)
+        with annotate("trace"):
+            hits = tracer(st.orig, st.dir, alive=st.remaining > 0)
         depth = max_bounces - b  # == remaining_bounces of live lanes (Renderer.cpp:435)
-        u = tile_uniforms(key, sample_index, depth, tile_index, n)
-        return shade(st, hits, u, parity=parity)
+        with annotate("rng"):
+            u = tile_uniforms(key, sample_index, depth, tile_index, n)
+        with annotate("shade"):
+            return shade(st, hits, u, parity=parity)
 
     if max_bounces > 1:
         state = jax.lax.fori_loop(1, max_bounces, bounce_body, state)
 
-    return gather_contribution(state)
+    with annotate("accumulate"):
+        return gather_contribution(state)
 
 
 def _render_tile(
@@ -233,6 +242,11 @@ def render_accumulate(
 
         if world is None:
             world = bake_world_triangles(scene)
+        if world.fused_ops is None:
+            # scene too large for the VMEM-resident operand pack — fall
+            # back to the per-bounce blocked-DMA pallas engine
+            engine = "pallas"
+    if engine == "fused":
         acc = render_samples_fused(
             world, ro, rd, key,
             n_samples=n_samples, max_bounces=max_bounces,
@@ -314,6 +328,11 @@ class Renderer:
                     )
                 accum = jnp.asarray(ck.accum)
                 done = ck.samples_done
+
+        if metrics is not None and done == 0:
+            from .diagnostics import live_ray_curve
+
+            metrics.record_live_curve(live_ray_curve(self.scene, cfg, key))
 
         while done < cfg.samples_per_pixel:
             step = min(chunk, cfg.samples_per_pixel - done)

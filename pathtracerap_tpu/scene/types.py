@@ -231,11 +231,11 @@ class WorldTriangles:
     fused_ops: jax.Array | None = None  # (16, 4*T) f32
     block_aabb: jax.Array | None = None  # (nb, 8) f32 [min xyz, max xyz, 0, 0]
     # Per-triangle shading attribute rows for in-kernel hit-attribute
-    # selection (megakernel): [nx, ny, nz, mat_type, r, g, b, 0] x T.
-    # Consumed as (8, TB) slabs broadcast against the per-visit argmin
-    # one-hot — the TPU replacement for the reference's per-thread struct
-    # reads at Renderer.cpp:393-398.
-    attr_rows: jax.Array | None = None  # (8, T) f32
+    # selection (megakernel): [shade_n(0:3), mat_type(3), rgb(4:7),
+    # geom_n(7:10), 0(10:16)] x T.  Consumed as (16, TB) slabs broadcast
+    # against the per-visit argmin one-hot — the TPU replacement for the
+    # reference's per-thread struct reads at Renderer.cpp:393-398.
+    attr_rows: jax.Array | None = None  # (16, T) f32
 
     @property
     def num_triangles(self) -> int:

@@ -29,6 +29,10 @@ class RenderMetrics:
     mrays_per_s: float
     device: str
     chunks: List[dict] = dataclasses.field(default_factory=list)
+    # fraction of rays alive entering each bounce (SURVEY.md section 5
+    # "live-ray curve per bounce"); filled by Renderer.render when a
+    # metrics logger is attached
+    live_ray_curve: List[float] = dataclasses.field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -42,6 +46,7 @@ class MetricsLogger:
         self.stream = stream or sys.stderr
         self.enabled = enabled and jax.process_index() == 0
         self.chunks: List[dict] = []
+        self.live_ray_curve: List[float] = []
         self._t0 = time.perf_counter()
 
     def chunk_done(self, samples: int, wall_s: float) -> None:
@@ -55,6 +60,12 @@ class MetricsLogger:
         self.chunks.append(rec)
         if self.enabled:
             print(f"[metrics] chunk {json.dumps(rec)}", file=self.stream, flush=True)
+
+    def record_live_curve(self, curve) -> None:
+        self.live_ray_curve = list(curve)
+        if self.enabled:
+            print(f"[metrics] live_ray_curve {json.dumps(self.live_ray_curve)}",
+                  file=self.stream, flush=True)
 
     def finalize(self, samples_done: int) -> RenderMetrics:
         wall = time.perf_counter() - self._t0
@@ -70,6 +81,7 @@ class MetricsLogger:
             mrays_per_s=round(rays / wall / 1e6, 2) if wall > 0 else 0.0,
             device=str(jax.devices()[0]),
             chunks=self.chunks,
+            live_ray_curve=self.live_ray_curve,
         )
         if self.enabled:
             print(f"[metrics] render {m.to_json()}", file=self.stream, flush=True)
