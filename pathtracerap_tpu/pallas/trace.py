@@ -87,8 +87,12 @@ def _nearest_hit_kernel(
         tmax = jnp.min(jnp.maximum(lo, hi), axis=1, keepdims=True)
         # conservative margins: a skip must be provably unable to beat the
         # running best (tiny-negative-t hits are accepted up to -EPS, and
-        # slab arithmetic carries fp error at scene scale)
-        margin = 1.0
+        # slab arithmetic carries fp error proportional to coordinate
+        # magnitude — derive the scale from the cluster AABB table instead
+        # of a fixed world-unit constant, matching _slab_margin)
+        finite = jnp.abs(aabb) < F_MAX
+        scale = jnp.max(jnp.where(finite, jnp.abs(aabb), 0.0))
+        margin = EPS + 1e-5 * scale
         box_hit = (
             (tmax >= -margin)
             & (tmin <= tmax + margin)

@@ -99,11 +99,21 @@ def liveness_probe(mesh=None) -> int:
     a hung peer the collective blocks — run under a caller-side deadline
     (e.g. a thread + join(timeout)).  This is the render-loop analog of the
     per-iteration barrier suggested in SURVEY.md section 5."""
-    devices = mesh.devices.flatten().tolist() if mesh is not None else jax.devices()
-    n = len(devices)
-    total = jax.pmap(lambda x: jax.lax.psum(x, "d"), axis_name="d",
-                     devices=devices)(jnp.ones((n,)))
-    return int(np.asarray(total)[0])
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), ("d",))
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    probe = jax.shard_map(
+        lambda x: jax.lax.psum(x, axis),
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=P(),
+        check_vma=False,
+    )
+    total = probe(jnp.ones((n,)))
+    return int(np.asarray(total))
 
 
 # --------------------------------------------------------------- fault inject

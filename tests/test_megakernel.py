@@ -67,3 +67,19 @@ def test_fused_quality_mode_jitter(scene):
     img_f = _render(scene, "fused", **over)
     img_m = _render(scene, "mxu", **over)
     np.testing.assert_allclose(img_f, img_m, atol=1e-5)
+
+
+def test_live_ray_curve(scene):
+    import jax
+
+    from pathtracerap_tpu.render.diagnostics import live_ray_curve
+
+    cfg = RenderConfig(
+        resolution=(16, 8), samples_per_pixel=1, max_bounces=4,
+        camera=CAMERA, engine="mxu",
+    )
+    curve = live_ray_curve(scene, cfg, jax.random.PRNGKey(0))
+    assert len(curve) == 4
+    assert curve[0] == 1.0
+    # monotone non-increasing decay (rays only die)
+    assert all(a >= b for a, b in zip(curve, curve[1:]))
