@@ -13,7 +13,7 @@ from pathtracerap_tpu.render.camera import generate_rays
 from pathtracerap_tpu.render.wavefront import Renderer, render_sample
 from pathtracerap_tpu.scene.build import build_cornell_box_scene
 
-RES = (16, 12)
+RES = (48, 32)
 CAMERA = CameraConfig(
     position=(0.0, 0.0, 150.0),
     plane_x=(-40.0, 40.0),
@@ -32,9 +32,9 @@ def cornell_dev(cornell):
     return cornell.to_device()
 
 
-@pytest.mark.parametrize("engine", ["parity", "mxu"])
+@pytest.mark.parametrize("engine", ["parity", "mxu", "pallas"])
 def test_single_sample_matches_oracle(cornell, cornell_dev, engine):
-    max_bounces = 3
+    max_bounces = 5
     key = jax.random.PRNGKey(7)
     ro, rd = generate_rays(CAMERA, RES)
     n = ro.shape[0]
