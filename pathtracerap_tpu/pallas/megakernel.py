@@ -289,14 +289,17 @@ def _trace_inkernel(
             num2 = s[:, 3 * tri_block :]  # t * det (plane columns negated)
 
             det = s_ab + s_bc + s_ca
-            parallel = det == 0.0
-            inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+            # det == 0 lanes produce inf/NaN in u/v/t; every IEEE compare
+            # with NaN is false and +-inf fails one of the range tests, so
+            # the explicit `parallel` mask of the AD-safe engines is
+            # unnecessary here (this kernel is never differentiated) —
+            # saves 3 VPU slab passes per visit
+            inv_det = 1.0 / det
             t = num2 * inv_det
             u = s_ca * inv_det
             v = s_ab * inv_det
             accept = (
-                ~parallel
-                & (u >= -EPS)
+                (u >= -EPS)
                 & (u <= 1.0 + EPS)
                 & (v >= -EPS)
                 & (u + v <= 1.0 + EPS)

@@ -235,15 +235,16 @@ def _fused_list_kernel(
                 num2 = s[:, 3 * tri_block :]  # t * det (plane columns negated)
 
                 det = s_ab + s_bc + s_ca
-                parallel = det == 0.0
-                inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+                # IEEE inf/NaN from det == 0 fail the range tests below, so
+                # no explicit parallel mask is needed (kernel is never
+                # differentiated; see megakernel._trace_inkernel)
+                inv_det = 1.0 / det
                 t = num2 * inv_det
                 u = s_ca * inv_det
                 v = s_ab * inv_det
 
                 accept = (
-                    ~parallel
-                    & (u >= -EPS)
+                    (u >= -EPS)
                     & (u <= 1.0 + EPS)
                     & (v >= -EPS)
                     & (u + v <= 1.0 + EPS)
