@@ -1,0 +1,79 @@
+"""End-to-end parity against the reference's committed render.
+
+The reference repository commits ``PathTracerAP/Render.bmp`` (1000x800,
+written by Renderer.cpp:15-63).  RNG sequences differ by design (SURVEY.md
+section 7 hard part b), so the comparison is on downsampled images, where
+per-pixel sampling noise averages out and what remains is camera,
+transform, material and traversal semantics — exactly the things that
+would drift (r1 VERDICT missing item 1).
+
+The repo's own golden (assets/golden/reference_scene.bmp, produced by
+scripts/make_golden.py on the TPU) is committed and doubles as the
+regression anchor for a small CPU re-render.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pathtracerap_tpu.io.bmp import read_bmp
+
+GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", "golden", "reference_scene.bmp",
+)
+REFERENCE = "/root/reference/PathTracerAP/Render.bmp"
+
+
+def _down(x, f):
+    h, w, _ = x.shape
+    return x[: h - h % f, : w - w % f].reshape(h // f, f, w // f, f, 3).mean(
+        axis=(1, 3)
+    )
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="golden not committed")
+@pytest.mark.skipif(not os.path.exists(REFERENCE), reason="reference not mounted")
+def test_committed_golden_matches_reference_render():
+    ours = read_bmp(GOLDEN).astype(np.float32) / 255.0
+    ref = read_bmp(REFERENCE).astype(np.float32) / 255.0
+    assert ours.shape == ref.shape == (800, 1000, 3)
+    d_ours, d_ref = _down(ours, 8), _down(ref, 8)
+    mad = float(np.abs(d_ours - d_ref).mean())
+    corr = float(np.corrcoef(d_ours.ravel(), d_ref.ravel())[0, 1])
+    # channel means catch RGB swaps / gamma drift
+    ch = np.abs(ours.mean(axis=(0, 1)) - ref.mean(axis=(0, 1)))
+    assert mad < 0.06, f"downsampled mean|diff|={mad:.4f}"
+    assert corr > 0.93, f"structural correlation={corr:.4f}"
+    assert np.all(ch < 0.08), f"channel mean drift {ch}"
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="golden not committed")
+def test_small_render_matches_committed_golden():
+    """Drift guard: a fresh tiny render must still match the committed
+    golden after heavy downsampling (fails if camera/transform/material
+    semantics change)."""
+    import jax
+
+    from pathtracerap_tpu.config import RenderConfig
+    from pathtracerap_tpu.render.wavefront import Renderer
+    from pathtracerap_tpu.scene.build import build_reference_scene
+
+    res = (100, 80)
+    img = np.asarray(
+        Renderer(
+            build_reference_scene().to_device(),
+            RenderConfig(resolution=res, samples_per_pixel=4, max_bounces=5,
+                         engine="mxu"),
+        ).render(seed=5)
+    )
+    golden = read_bmp(GOLDEN).astype(np.float32) / 255.0
+    g_small = _down(golden, 10)  # 1000x800 -> 100x80
+    assert g_small.shape == img.shape
+    a = _down(img, 4)  # -> 25x20: wash out the 4spp noise
+    b = _down(g_small, 4)
+    mad = float(np.abs(a - b).mean())
+    corr = float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
+    assert mad < 0.08, f"mean|diff| vs golden = {mad:.4f}"
+    assert corr > 0.9, f"correlation vs golden = {corr:.4f}"
