@@ -247,12 +247,30 @@ def render_accumulate(
             # back to the per-bounce blocked-DMA pallas engine
             engine = "pallas"
     if engine == "fused":
-        acc = render_samples_fused(
-            world, ro, rd, key,
-            n_samples=n_samples, max_bounces=max_bounces,
-            sample_offset=sample_offset, parity=parity,
-            jitter_step=jitter_step,
-        )
+        # process at most 64 RNG tiles (512k rays) per megakernel call:
+        # larger grids overflow the 1 MB SMEM budget of the scalar-prefetch
+        # worklists at >=1024^2 resolutions.  Slab boundaries are 8192-ray
+        # aligned so the global RNG tile numbering is unchanged.
+        slab = 64 * 8192
+        if n <= slab:
+            acc = render_samples_fused(
+                world, ro, rd, key,
+                n_samples=n_samples, max_bounces=max_bounces,
+                sample_offset=sample_offset, parity=parity,
+                jitter_step=jitter_step,
+            )
+        else:
+            parts = []
+            for s0 in range(0, n, slab):
+                parts.append(
+                    render_samples_fused(
+                        world, ro[s0 : s0 + slab], rd[s0 : s0 + slab], key,
+                        n_samples=n_samples, max_bounces=max_bounces,
+                        sample_offset=sample_offset, parity=parity,
+                        jitter_step=jitter_step, tile_base=s0 // 8192,
+                    )
+                )
+            acc = jnp.concatenate(parts, axis=0)
         if init_accum is not None:
             acc = acc + init_accum
         return acc

@@ -83,3 +83,37 @@ def test_live_ray_curve(scene):
     assert curve[0] == 1.0
     # monotone non-increasing decay (rays only die)
     assert all(a >= b for a, b in zip(curve, curve[1:]))
+
+
+def test_slabbed_fused_calls_compose_exactly(scene):
+    """Slabbing the ray array over multiple megakernel calls with global
+    RNG tile numbering must reproduce the single-call result (the >=1024^2
+    SMEM slabbing path in render_accumulate)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pathtracerap_tpu.ops.plucker import bake_world_triangles
+    from pathtracerap_tpu.pallas.megakernel import RNG_TILE, render_samples_fused
+    from pathtracerap_tpu.render.camera import generate_rays
+
+    world = jax.jit(bake_world_triangles)(scene)
+    # two full RNG tiles worth of rays (small RNG_TILE would need a huge
+    # image; emulate by slicing a 2*RNG_TILE ray array)
+    res = (RNG_TILE // 64, 128)  # 128 x 128 = 16384 = 2 * RNG_TILE
+    from pathtracerap_tpu.config import CameraConfig
+
+    cam = CameraConfig(position=(0.0, 0.0, 150.0), plane_x=(-40.0, 40.0),
+                       plane_y=(-30.0, 30.0), plane_z=100.0)
+    ro, rd = generate_rays(cam, res)
+    assert ro.shape[0] == 2 * RNG_TILE
+    key = jax.random.PRNGKey(11)
+
+    full = render_samples_fused(world, ro, rd, key, n_samples=2, max_bounces=3)
+    part0 = render_samples_fused(world, ro[:RNG_TILE], rd[:RNG_TILE], key,
+                                 n_samples=2, max_bounces=3, tile_base=0)
+    part1 = render_samples_fused(world, ro[RNG_TILE:], rd[RNG_TILE:], key,
+                                 n_samples=2, max_bounces=3, tile_base=1)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(jnp.concatenate([part0, part1])),
+        atol=1e-6,
+    )
