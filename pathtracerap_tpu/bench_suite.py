@@ -140,7 +140,7 @@ def run_config(name: str, engine: str = "fused", repeats: int = 2) -> dict:
         "full_spp": full_spp,
         "measured_spp": spp,
         "bounces": cfg.max_bounces,
-        "triangles": int(scene.num_triangles),
+        "triangles": int(scene.tri_vidx.shape[0]),
         "wall_s": round(best, 4),
         "mrays_per_s": round(mrays, 2),
         "projected_full_render_s": round(best * full_spp / spp, 1),

@@ -69,7 +69,7 @@ def _add_common(p):
     p.add_argument("--height", type=int, default=0)
     p.add_argument("--spp", type=int, default=0)
     p.add_argument("--bounces", type=int, default=0)
-    p.add_argument("--engine", default="", choices=["", "parity", "mxu", "pallas", "fused"])
+    p.add_argument("--engine", default="", choices=["", "parity", "mxu", "pallas", "fused", "binned"])
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--samples-per-chunk", type=int, default=0)
     # multi-host / multi-device entry (SURVEY.md section 5 "distributed

@@ -133,7 +133,7 @@ def render_image_dp(
 
     if mesh is None:
         mesh = default_mesh()
-    if world is None and config.engine in ("mxu", "pallas", "fused"):
+    if world is None and config.engine in ("mxu", "pallas", "fused", "binned"):
         world = jax.jit(bake_world_triangles)(scene)
     key = jax.random.PRNGKey(config.seed if seed is None else seed)
     acc = _render_dp_jit(

@@ -39,7 +39,7 @@ def live_ray_curve(
     ro, rd = generate_rays(config.camera, config.resolution)
     ro, rd = ro[:max_rays], rd[:max_rays]
     n = ro.shape[0]
-    engine = "pallas" if config.engine == "fused" else config.engine
+    engine = "pallas" if config.engine in ("fused", "binned") else config.engine
     tracer = _make_tracer(scene, engine)
 
     @jax.jit

@@ -234,11 +234,10 @@ def render_accumulate(
             (camera.plane_y[1] - camera.plane_y[0]) / h_res,
         )
 
-    if engine == "fused":
-        # megakernel path: the whole bounce loop runs inside one Pallas
-        # kernel per sample; no XLA-level ray tiling needed (the kernel grid
-        # tiles rays itself)
-        from ..pallas.megakernel import render_samples_fused
+    if engine in ("fused", "binned"):
+        # megakernel paths: the bounce loop runs inside Pallas kernels; no
+        # XLA-level ray tiling needed (the kernel grid tiles rays itself)
+        from ..pallas.megakernel import render_samples_binned, render_samples_fused
 
         if world is None:
             world = bake_world_triangles(scene)
@@ -246,6 +245,25 @@ def render_accumulate(
             # scene too large for the VMEM-resident operand pack — fall
             # back to the per-bounce blocked-DMA pallas engine
             engine = "pallas"
+        elif engine == "binned" and jitter_step is not None:
+            # binning relies on the primary-hit cache (parity camera)
+            engine = "fused"
+    if engine == "binned":
+        slab = 64 * 8192
+        parts = []
+        for s0 in range(0, n, slab):
+            parts.append(
+                render_samples_binned(
+                    world, ro[s0 : s0 + slab], rd[s0 : s0 + slab], key,
+                    n_samples=n_samples, max_bounces=max_bounces,
+                    sample_offset=sample_offset, parity=parity,
+                    tile_base=s0 // 8192,
+                )
+            )
+        acc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        if init_accum is not None:
+            acc = acc + init_accum
+        return acc
     if engine == "fused":
         # process at most 64 RNG tiles (512k rays) per megakernel call:
         # larger grids overflow the 1 MB SMEM budget of the scalar-prefetch
@@ -306,7 +324,7 @@ class Renderer:
         # bake once per scene; jitted so it runs on-device
         self.world = (
             jax.jit(bake_world_triangles)(scene)
-            if config.engine in ("mxu", "pallas", "fused")
+            if config.engine in ("mxu", "pallas", "fused", "binned")
             else None
         )
 

@@ -117,3 +117,11 @@ def test_slabbed_fused_calls_compose_exactly(scene):
         np.asarray(full), np.asarray(jnp.concatenate([part0, part1])),
         atol=1e-6,
     )
+
+
+def test_binned_matches_fused_engine(scene):
+    """Per-bounce ray binning is a pure permutation with per-ray uniform
+    streams riding the sort — images must equal the unbinned megakernel's."""
+    img_b = _render(scene, "binned", max_bounces=4)
+    img_f = _render(scene, "fused", max_bounces=4)
+    np.testing.assert_allclose(img_b, img_f, atol=1e-5)
