@@ -123,6 +123,14 @@ def run_config(name: str, engine: str = "fused", repeats: int = 2) -> dict:
                                          "samples_per_pixel": spp,
                                          "samples_per_chunk": spp})
     r = Renderer(scene, cfg)
+    # report the engine that actually runs: scenes above the VMEM-resident
+    # pack limit silently fall back from the megakernels to the blocked-DMA
+    # pallas path (render_accumulate's world.fused_ops gate)
+    actual_engine = cfg.engine
+    if cfg.engine in ("fused", "binned") and (
+        r.world is None or r.world.fused_ops is None
+    ):
+        actual_engine = "pallas"
     img = np.asarray(r.render())
     best = float("inf")
     for _ in range(repeats):
@@ -135,7 +143,7 @@ def run_config(name: str, engine: str = "fused", repeats: int = 2) -> dict:
     full_spp = spec["cfg"].get("samples_per_pixel", spp)
     return {
         "config": name,
-        "engine": cfg.engine,
+        "engine": actual_engine,
         "resolution": [w, h],
         "full_spp": full_spp,
         "measured_spp": spp,
@@ -152,6 +160,8 @@ def run_suite(which: str = "baseline", engine: str = "fused",
               names: Optional[List[str]] = None) -> dict:
     import jax
 
+    if which != "baseline":
+        raise ValueError(f"unknown suite {which!r}; only 'baseline' exists")
     names = names or list(suite_configs().keys())
     return {
         "suite": which,

@@ -156,7 +156,7 @@ def cmd_benchmark(args):
     if args.suite:
         from .bench_suite import run_suite
 
-        print(json.dumps(run_suite(args.suite), indent=2))
+        print(json.dumps(run_suite(args.suite, engine=cfg.engine), indent=2))
         return 0
     renderer = Renderer(scene.to_device(), cfg)
     np.asarray(renderer.render())  # warmup/compile

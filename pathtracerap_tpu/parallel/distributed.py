@@ -17,7 +17,7 @@ multi-host is a capability this framework adds.  The JAX recipe:
 BASELINE.md's scaling target (>=85% efficiency at 2+ hosts) is measured by
 :func:`scaling_report`, which times the DP renderer at growing device
 counts (1, 2, 4, ... of whatever backend is present — real chips on a pod,
-the fake CPU mesh in CI) at FIXED per-device work (weak scaling) and
+the fake CPU mesh in CI) on a FIXED total workload (strong scaling) and
 reports efficiency vs linear.
 """
 
@@ -88,13 +88,11 @@ def scaling_report(
     seed: int = 0,
     repeats: int = 2,
 ) -> dict:
-    """Weak-scaling efficiency of the DP renderer.
+    """Strong-scaling efficiency of the DP renderer.
 
-    Per device count n: rays are sharded n ways, per-device work is held
-    constant by scaling spp is NOT done — instead the fixed-resolution
-    render simply splits n ways (strong scaling), which is the deployment
-    shape (one image, many chips).  Efficiency(n) =
-    (throughput(n) / throughput(1)) / n.
+    Per device count n the fixed-resolution render is simply split n ways
+    (rays sharded over the mesh), which is the deployment shape — one
+    image, many chips.  Efficiency(n) = (throughput(n) / throughput(1)) / n.
     """
     devices = jax.devices()
     if device_counts is None:

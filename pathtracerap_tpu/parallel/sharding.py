@@ -65,36 +65,98 @@ def render_accumulate_dp(
     ``d * tiles_per_device``.
     """
     n_dev = mesh.devices.size
-    if engine == "fused":
-        # the megakernel path manages its own RNG tiling; under DP the
-        # per-bounce pallas engine keeps per-tile RNG streams aligned with
-        # the single-device renderer, so use it for sharded runs
+    use_mega = (
+        engine in ("fused", "binned")
+        and world is not None
+        and world.fused_ops is not None
+    )
+    if engine in ("fused", "binned") and not use_mega:
+        # scene too large for the VMEM-resident operand pack: the blocked-DMA
+        # per-bounce pallas engine is the fallback, same as render_accumulate
         engine = "pallas"
+
+    # quality-mode AA camera (same rule as render_accumulate)
+    jitter_step = None
+    if camera.jitter:
+        w_res, h_res = resolution
+        jitter_step = (
+            (camera.plane_x[1] - camera.plane_x[0]) / w_res,
+            (camera.plane_y[1] - camera.plane_y[0]) / h_res,
+        )
+    if engine == "binned" and jitter_step is not None:
+        engine = "fused"  # binning needs the deterministic primary-hit cache
+
     ro, rd = generate_rays(camera, resolution)
     n = ro.shape[0]
 
-    # pad so every device gets whole tiles
+    if use_mega:
+        # Device shards must preserve the single-device renderer's global
+        # 8192-ray RNG tile numbering (megakernel.chunk_uniforms) so the
+        # sharded image bit-matches the facade: pad each device's slab to a
+        # whole number of RNG tiles.  Device d's rays start at global padded
+        # offset d*per_dev — a multiple of RNG_TILE — so every ray keeps its
+        # global (tile index, within-tile row) and therefore its exact
+        # uniform stream.
+        from ..pallas.megakernel import RNG_TILE
+
+        align = RNG_TILE
+    else:
+        align = tile_size
     per_dev = -(-n // n_dev)
-    per_dev = -(-per_dev // tile_size) * tile_size
+    per_dev = -(-per_dev // align) * align
     n_pad = per_dev * n_dev
     ro = jnp.pad(ro, ((0, n_pad - n), (0, 0)))
     rd = jnp.pad(rd, ((0, n_pad - n), (0, 0)), constant_values=1.0)
-    tiles_per_dev = per_dev // tile_size
+    tiles_per_dev = per_dev // align
 
-    def local_render(scene_l, world_l, key_l, ro_l, rd_l):
-        tracer = _make_tracer(scene_l, engine, world=world_l)
-        render_tile = functools.partial(
-            _render_tile,
-            tracer,
-            key=key_l,
-            n_samples=n_samples,
-            max_bounces=max_bounces,
-            parity=parity,
-            sample_offset=sample_offset,
-            scene=scene_l,
+    if use_mega:
+        from ..pallas.megakernel import (
+            render_samples_binned,
+            render_samples_fused,
         )
-        tile_base = jax.lax.axis_index("rays") * tiles_per_dev
-        return render_ray_array(render_tile, ro_l, rd_l, tile_size, tile_base=tile_base)
+
+        slab = 64 * RNG_TILE  # same SMEM-bounded slab as render_accumulate
+
+        def local_render(scene_l, world_l, key_l, ro_l, rd_l):
+            tile_base = jax.lax.axis_index("rays") * tiles_per_dev
+            parts = []
+            for s0 in range(0, per_dev, slab):
+                kwargs = dict(
+                    n_samples=n_samples,
+                    max_bounces=max_bounces,
+                    sample_offset=sample_offset,
+                    parity=parity,
+                    tile_base=tile_base + s0 // RNG_TILE,
+                )
+                args = (world_l, ro_l[s0:s0 + slab], rd_l[s0:s0 + slab], key_l)
+                if engine == "binned":
+                    parts.append(render_samples_binned(*args, **kwargs))
+                else:
+                    parts.append(
+                        render_samples_fused(*args, jitter_step=jitter_step,
+                                             **kwargs)
+                    )
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+    else:
+
+        def local_render(scene_l, world_l, key_l, ro_l, rd_l):
+            tracer = _make_tracer(scene_l, engine, world=world_l)
+            render_tile = functools.partial(
+                _render_tile,
+                tracer,
+                key=key_l,
+                n_samples=n_samples,
+                max_bounces=max_bounces,
+                parity=parity,
+                sample_offset=sample_offset,
+                scene=scene_l,
+                jitter_step=jitter_step,
+            )
+            tile_base = jax.lax.axis_index("rays") * tiles_per_dev
+            return render_ray_array(
+                render_tile, ro_l, rd_l, tile_size, tile_base=tile_base
+            )
 
     shard = jax.shard_map(
         local_render,

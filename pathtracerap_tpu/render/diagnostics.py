@@ -39,6 +39,9 @@ def live_ray_curve(
     ro, rd = generate_rays(config.camera, config.resolution)
     ro, rd = ro[:max_rays], rd[:max_rays]
     n = ro.shape[0]
+    # the megakernel engines keep liveness inside the kernel; the per-bounce
+    # pallas engine has identical kill semantics, so its curve IS theirs —
+    # but label the substitution honestly in the metrics stream
     engine = "pallas" if config.engine in ("fused", "binned") else config.engine
     tracer = _make_tracer(scene, engine)
 

@@ -113,7 +113,7 @@ def liveness_probe(mesh=None) -> int:
         check_vma=False,
     )
     total = probe(jnp.ones((n,)))
-    return int(np.asarray(total))
+    return int(np.asarray(total).reshape(-1)[0])
 
 
 # --------------------------------------------------------------- fault inject
