@@ -75,7 +75,8 @@ def main() -> None:
 
     bwd_spp = 2
     step = make_train_step(
-        scene, cfg.camera, resolution, bwd_spp, max_bounces, tile_size=8192
+        scene, cfg.camera, resolution, bwd_spp, max_bounces, tile_size=8192,
+        engine="fused",
     )
     params = extract_params(scene, ("mat_color",))
     key = jrandom.PRNGKey(0)

@@ -76,6 +76,27 @@ def render_for_params(
     (render/shade.py)."""
     s = apply_params(scene, params)
     world = bake_world_triangles(s)
+    if engine == "fused" and world.fused_ops is not None:
+        # whole-sample megakernel forward + frozen-topology XLA replay
+        # backward (diff/fast.py); RNG tiling is the megakernel's own
+        # 8192-row chunk stream, with ``tile_base`` in those units (callers
+        # pre-sharding rays must align slabs to 8192 rows)
+        from .fast import render_samples_fused_diff
+
+        if ro is None:
+            ro, rd = generate_rays(camera, resolution)
+        slab = 64 * 8192
+        n = ro.shape[0]
+        parts = [
+            render_samples_fused_diff(
+                world, ro[s0:s0 + slab], rd[s0:s0 + slab], key,
+                n_samples=n_samples, max_bounces=max_bounces,
+                parity=parity, tile_base=tile_base + s0 // 8192,
+            )
+            for s0 in range(0, n, slab)
+        ]
+        acc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return acc / n_samples
     if engine == "pallas":
         from .fast import trace_pallas_diff
 
@@ -230,6 +251,11 @@ def make_sharded_train_step(
     where ``target_flat`` is the (N, 3) target image in ray order.
     """
     n_dev = mesh.devices.size
+    if engine == "fused":
+        # the fused diff path's RNG stream is tiled at 8192 rows; device
+        # slabs must align so tile_base is in those units (see
+        # render_for_params)
+        tile_size = 8192
     ro, rd = generate_rays(camera, resolution)
     n = ro.shape[0]
     per_dev = -(-n // n_dev)

@@ -238,7 +238,7 @@ def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity: b
 
 def _trace_inkernel(
     orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
-    tri_block: int, n_blocks: int, n_attrs: int = 7
+    tri_block: int, n_blocks: int, n_attrs: int = 7, with_idx: bool = False
 ):
     """Nearest hit + attribute select for the live wavefront, all in VMEM.
 
@@ -246,6 +246,10 @@ def _trace_inkernel(
     against the running per-ray best (the wavefront analog of the
     reference's per-model AABB gate + DDA early-out, Renderer.cpp:252,
     326-329 — but conservative: the returned hit never changes).
+
+    ``with_idx`` additionally tracks the winning global triangle index as
+    a trailing attrs column holding ``idx + 1`` (0 = miss) — the frozen hit
+    topology the differentiable replay consumes (diff/fast.py pattern).
     """
     r = orig.shape[0]
     d_n = _norm3(dirn)
@@ -322,7 +326,13 @@ def _trace_inkernel(
                     jnp.sum(onehot * slab[k : k + 1, :], axis=1, keepdims=True)
                     for k in range(n_attrs)
                 ]
-                new_attrs = jnp.concatenate(sel, axis=1)  # (R, n_attrs)
+                if with_idx:
+                    # trailing column: global triangle index + 1 (f32 exact
+                    # for any VMEM-pack-sized scene, <= 16384 triangles)
+                    sel.append(
+                        (blk * tri_block + local_arg + 1).astype(jnp.float32)
+                    )
+                new_attrs = jnp.concatenate(sel, axis=1)  # (R, n_attrs[+1])
                 return (
                     jnp.where(improve, blk_min, best_t),
                     jnp.where(improve, new_attrs, attrs),
@@ -332,32 +342,38 @@ def _trace_inkernel(
 
         return jax.lax.cond(jnp.any(box_hit), compute, lambda c: c, (best_t, attrs))
 
+    width = n_attrs + (1 if with_idx else 0)
     best_t, attrs = jax.lax.fori_loop(
         0,
         n_blocks,
         visit,
         (jnp.full((r, 1), F_MAX, jnp.float32),
-         jnp.zeros((r, n_attrs), jnp.float32)),
+         jnp.zeros((r, width), jnp.float32)),
     )
     gn = attrs[:, 7:10] if n_attrs >= 10 else attrs[:, 0:3]
-    return best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7], gn
+    out = (best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7], gn)
+    if with_idx:
+        return out + (attrs[:, n_attrs : n_attrs + 1],)
+    return out
 
 
 def _megakernel(
     aabb_ref,  # SMEM (nb, 8)
     margin_ref,  # SMEM (1,)
     w_ref,  # (R, 16) primary pack [d, o x d, o, -1, 1, 0...]
-    prim_ref,  # (R, 12) primary hit [t, shade_n(3), mt, rgb(3), geom_n(3), 0]
+    prim_ref,  # (R, 12) primary hit [t, shade_n(3), mt, rgb(3), geom_n(3), idx+1]
     u_ref,  # (R, 4*B) uniforms, bounce-major
     ops_ref,  # (16, 4*T)
     attr_ref,  # (16, T)
     out_ref,  # (R, 4)
+    idx_ref=None,  # (R, 8) per-bounce hit idx+1, 0 = miss (emit_idx only)
     *,
     tri_block: int,
     n_blocks: int,
     max_bounces: int,
     parity: bool,
     use_primary: bool,
+    emit_idx: bool = False,
 ):
     r = w_ref.shape[0]
     margin = margin_ref[0]
@@ -367,6 +383,7 @@ def _megakernel(
     remaining = jnp.full((r, 1), float(max_bounces), jnp.float32)
     # quality mode additionally selects the geometric-normal rows
     n_attrs = 7 if parity else 10
+    idx_cols = []
 
     for b in range(max_bounces):
         if b == 0 and use_primary:
@@ -375,11 +392,19 @@ def _megakernel(
             mt = prim_ref[:, 4:5]
             mc = prim_ref[:, 5:8]
             gn = prim_ref[:, 8:11]
+            idx1 = prim_ref[:, 11:12]
         else:
-            t, n, mt, mc, gn = _trace_inkernel(
+            traced = _trace_inkernel(
                 orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
-                tri_block, n_blocks, n_attrs=n_attrs,
+                tri_block, n_blocks, n_attrs=n_attrs, with_idx=emit_idx,
             )
+            if emit_idx:
+                t, n, mt, mc, gn, idx1 = traced
+            else:
+                t, n, mt, mc, gn = traced
+        if emit_idx:
+            # a frozen topology entry only counts where the lane was live
+            idx_cols.append(jnp.where(remaining > 0.0, idx1, 0.0))
         u = u_ref[:, 4 * b : 4 * b + 4]
         orig, dirn, color, remaining = _shade_inkernel(
             orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity
@@ -389,6 +414,9 @@ def _megakernel(
         [jnp.sqrt(jnp.maximum(color, 0.0)), jnp.zeros((r, 1), jnp.float32)], axis=1
     )
     out_ref[:] = out
+    if emit_idx:
+        idx_cols.append(jnp.zeros((r, 8 - max_bounces), jnp.float32))
+        idx_ref[:] = jnp.concatenate(idx_cols, axis=1)
 
 
 def _sample_pallas_call(
@@ -401,13 +429,20 @@ def _sample_pallas_call(
     parity: bool,
     use_primary: bool,
     ray_tile: int = RAY_TILE,
-) -> jax.Array:
+    emit_idx: bool = False,
+):
     n = w16.shape[0]
     nb = world.block_aabb.shape[0]
     tri_block = world.fused_ops.shape[1] // (4 * nb)
     assert n % ray_tile == 0, (n, ray_tile)
     nt = n // ray_tile
     ucols = uniforms.shape[1]
+
+    out_specs = [pl.BlockSpec((ray_tile, 4), lambda i, A, M: (i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((n, 4), jnp.float32)]
+    if emit_idx:
+        out_specs.append(pl.BlockSpec((ray_tile, 8), lambda i, A, M: (i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((n, 8), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -419,9 +454,9 @@ def _sample_pallas_call(
             pl.BlockSpec((16, world.fused_ops.shape[1]), lambda i, A, M: (0, 0)),
             pl.BlockSpec((16, world.attr_rows.shape[1]), lambda i, A, M: (0, 0)),
         ],
-        out_specs=[pl.BlockSpec((ray_tile, 4), lambda i, A, M: (i, 0))],
+        out_specs=out_specs,
     )
-    (out,) = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(
             _megakernel,
             tri_block=tri_block,
@@ -429,9 +464,10 @@ def _sample_pallas_call(
             max_bounces=max_bounces,
             parity=parity,
             use_primary=use_primary,
+            emit_idx=emit_idx,
         ),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n, 4), jnp.float32)],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * n * world.fused_ops.shape[1] * 16 * max_bounces,
             bytes_accessed=n * (16 + 8 + ucols + 4) * 4 + world.fused_ops.size * 4,
@@ -445,7 +481,9 @@ def _sample_pallas_call(
         world.block_aabb, margin.reshape(1),
         w16, prim, uniforms, world.fused_ops, world.attr_rows,
     )
-    return out[:, 0:3]
+    if emit_idx:
+        return outs[0][:, 0:3], outs[1]
+    return outs[0][:, 0:3]
 
 
 def _rng_tiling(n: int, n_pad: int, rng_tile: int = RNG_TILE):

@@ -183,6 +183,35 @@ def test_pallas_diff_grads_match_mxu_engine(cornell_dev):
     )
 
 
+def test_fused_diff_grads_match_mxu_engine(cornell_dev):
+    """The whole-sample megakernel diff path (forward under stop_gradient
+    emitting per-bounce hit indices, frozen-topology XLA replay backward,
+    diff/fast.render_samples_fused_diff) must match the MXU engine's
+    gradients.  tile_size >= n on the mxu side makes both consume the
+    single-tile (tile index 0) uniform stream."""
+    key = jax.random.PRNGKey(8)
+    params = extract_params(cornell_dev, ("mat_color", "vertex_pos"))
+    target = jnp.zeros((RES[0] * RES[1], 3), jnp.float32)
+
+    def loss(params, engine):
+        return image_loss(
+            params, cornell_dev, target, key, CAMERA, RES, N_SAMPLES, BOUNCES,
+            tile_size=8192, engine=engine,
+        )
+
+    (l_f, g_f) = jax.jit(jax.value_and_grad(lambda p: loss(p, "fused")))(params)
+    (l_m, g_m) = jax.jit(jax.value_and_grad(lambda p: loss(p, "mxu")))(params)
+    np.testing.assert_allclose(float(l_f), float(l_m), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_f["mat_color"]), np.asarray(g_m["mat_color"]),
+        rtol=1e-4, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_f["vertex_pos"]), np.asarray(g_m["vertex_pos"]),
+        rtol=1e-4, atol=1e-7,
+    )
+
+
 def test_quality_mode_vertex_gradients_through_color(cornell_dev):
     """parity=False restores the cosine factor (Renderer.cpp:438), so the
     COLOR loss itself carries nonzero vertex gradients; FD-verify one."""
