@@ -101,6 +101,14 @@ class SceneBuilder:
         return len(self._meshes) - 1
 
     def add_mesh_file(self, path: str, scale: float = constants.BASE_MODEL_SCALE) -> int:
+        """Load a mesh file by extension: .obj (io/obj.py) or .ply
+        (io/ply.py) — the formats the reference's Assimp-imported asset set
+        actually uses (Scene.cpp:226-238; OBJs committed, Stanford scans
+        are PLY-native)."""
+        if path.lower().endswith(".ply"):
+            from ..io.ply import load_ply
+
+            return self.add_mesh(load_ply(path, scale=scale))
         return self.add_mesh(load_obj(path, scale=scale))
 
     def add_instance(
