@@ -238,7 +238,8 @@ def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity: b
 
 def _trace_inkernel(
     orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
-    tri_block: int, n_blocks: int, n_attrs: int = 7, with_idx: bool = False
+    tri_block: int, n_blocks: int, n_attrs: int = 7, with_idx: bool = False,
+    debug: bool = False,
 ):
     """Nearest hit + attribute select for the live wavefront, all in VMEM.
 
@@ -293,12 +294,18 @@ def _trace_inkernel(
             num2 = s[:, 3 * tri_block :]  # t * det (plane columns negated)
 
             det = s_ab + s_bc + s_ca
-            # det == 0 lanes produce inf/NaN in u/v/t; every IEEE compare
-            # with NaN is false and +-inf fails one of the range tests, so
-            # the explicit `parallel` mask of the AD-safe engines is
-            # unnecessary here (this kernel is never differentiated) —
-            # saves 3 VPU slab passes per visit
-            inv_det = 1.0 / det
+            if debug:
+                # explicit-mask form (PTAP_DEBUG=1) — regression guard for
+                # the IEEE reasoning below (utils/debug.py)
+                parallel = det == 0.0
+                inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+            else:
+                # det == 0 lanes produce inf/NaN in u/v/t; every IEEE
+                # compare with NaN is false and +-inf fails one of the range
+                # tests, so the explicit `parallel` mask of the AD-safe
+                # engines is unnecessary here (this kernel is never
+                # differentiated) — saves 3 VPU slab passes per visit
+                inv_det = 1.0 / det
             t = num2 * inv_det
             u = s_ca * inv_det
             v = s_ab * inv_det
@@ -309,6 +316,8 @@ def _trace_inkernel(
                 & (u + v <= 1.0 + EPS)
                 & (t >= -EPS)
             )
+            if debug:
+                accept = accept & ~parallel
             t_m = jnp.where(accept, t, F_MAX)
             blk_min = jnp.min(t_m, axis=1, keepdims=True)
             local_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None]
@@ -374,6 +383,7 @@ def _megakernel(
     parity: bool,
     use_primary: bool,
     emit_idx: bool = False,
+    debug: bool = False,
 ):
     r = w_ref.shape[0]
     margin = margin_ref[0]
@@ -397,6 +407,7 @@ def _megakernel(
             traced = _trace_inkernel(
                 orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
                 tri_block, n_blocks, n_attrs=n_attrs, with_idx=emit_idx,
+                debug=debug,
             )
             if emit_idx:
                 t, n, mt, mc, gn, idx1 = traced
@@ -430,6 +441,7 @@ def _sample_pallas_call(
     use_primary: bool,
     ray_tile: int = RAY_TILE,
     emit_idx: bool = False,
+    debug: bool = False,
 ):
     n = w16.shape[0]
     nb = world.block_aabb.shape[0]
@@ -465,6 +477,7 @@ def _sample_pallas_call(
             parity=parity,
             use_primary=use_primary,
             emit_idx=emit_idx,
+            debug=debug,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -539,6 +552,7 @@ def render_samples_fused(
     tile_base=0,
     jitter_step=None,
     ray_tile: int = RAY_TILE,
+    debug=None,
 ) -> jax.Array:
     """Accumulate ``n_samples`` sample iterations with the megakernel;
     returns (N, 3) contribution sums (pre-normalization).
@@ -550,7 +564,9 @@ def render_samples_fused(
     """
     from .trace import _slab_margin, trace_pallas
     from ..ops.rng import camera_jitter_uniforms
+    from ..utils.debug import resolve_debug
 
+    debug = resolve_debug(debug)
     n = ro.shape[0]
     rd_n = normalize(rd)
     pad = (-n) % ray_tile
@@ -611,7 +627,7 @@ def render_samples_fused(
             w = pack_rays(normalize(rd_s))
         contrib = _sample_pallas_call(
             world, w, prim, u, margin, max_bounces, parity, use_primary,
-            ray_tile=ray_tile,
+            ray_tile=ray_tile, debug=debug,
         )
         return acc + contrib
 
@@ -648,6 +664,7 @@ def _bounce_kernel(
     tri_block: int,
     n_blocks: int,
     parity: bool,
+    debug: bool = False,
 ):
     orig = st_ref[:, 0:3]
     dirn = st_ref[:, 3:6]
@@ -656,7 +673,7 @@ def _bounce_kernel(
     n_attrs = 7 if parity else 10
     t, n, mt, mc, gn = _trace_inkernel(
         orig, dirn, remaining, aabb_ref, margin_ref[0], ops_ref, attr_ref,
-        tri_block, n_blocks, n_attrs=n_attrs,
+        tri_block, n_blocks, n_attrs=n_attrs, debug=debug,
     )
     orig, dirn, color, remaining = _shade_inkernel(
         orig, dirn, color, remaining, t, n, mt, mc, gn, u_ref[:], parity
@@ -667,7 +684,7 @@ def _bounce_kernel(
     )
 
 
-def _bounce_call(world, margin, pack, u, parity, ray_tile):
+def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
     n = pack.shape[0]
     nb = world.block_aabb.shape[0]
     tri_block = world.fused_ops.shape[1] // (4 * nb)
@@ -685,7 +702,8 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile):
     )
     (out,) = pl.pallas_call(
         functools.partial(
-            _bounce_kernel, tri_block=tri_block, n_blocks=nb, parity=parity
+            _bounce_kernel, tri_block=tri_block, n_blocks=nb, parity=parity,
+            debug=debug,
         ),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n, 16), jnp.float32)],
@@ -725,6 +743,7 @@ def render_samples_binned(
     parity: bool = True,
     tile_base=0,
     ray_tile: int = RAY_TILE,
+    debug=None,
 ) -> jax.Array:
     """Accumulate ``n_samples`` with per-bounce ray binning; returns (N, 3).
 
@@ -733,7 +752,9 @@ def render_samples_binned(
     """
     from .trace import _slab_margin, trace_pallas
     from ..render.shade import RayState, shade
+    from ..utils.debug import resolve_debug
 
+    debug = resolve_debug(debug)
     n = ro.shape[0]
     rd_n = normalize(rd)
     pad = (-n) % ray_tile
@@ -769,7 +790,8 @@ def render_samples_binned(
             pack = pack[perm]
             pix = pix[perm]
             u_b = u_all[:, 4 * b : 4 * b + 4][pix]
-            pack = _bounce_call(world, margin, pack, u_b, parity, ray_tile)
+            pack = _bounce_call(world, margin, pack, u_b, parity, ray_tile,
+                                debug=debug)
         contrib = jnp.sqrt(jnp.maximum(pack[:, 6:9], 0.0))
         return acc + jnp.zeros((n_pad, 3), jnp.float32).at[pix].set(contrib)
 

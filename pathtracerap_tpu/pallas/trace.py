@@ -188,6 +188,7 @@ def _fused_list_kernel(
     *,
     tri_block: int,
     n_blocks: int,
+    debug: bool = False,
 ):
     i = pl.program_id(0)
 
@@ -235,10 +236,16 @@ def _fused_list_kernel(
                 num2 = s[:, 3 * tri_block :]  # t * det (plane columns negated)
 
                 det = s_ab + s_bc + s_ca
-                # IEEE inf/NaN from det == 0 fail the range tests below, so
-                # no explicit parallel mask is needed (kernel is never
-                # differentiated; see megakernel._trace_inkernel)
-                inv_det = 1.0 / det
+                if debug:
+                    # explicit-mask form (PTAP_DEBUG=1): the regression
+                    # guard for the IEEE reasoning below (utils/debug.py)
+                    parallel = det == 0.0
+                    inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+                else:
+                    # IEEE inf/NaN from det == 0 fail the range tests below,
+                    # so no explicit parallel mask is needed (kernel is never
+                    # differentiated; see megakernel._trace_inkernel)
+                    inv_det = 1.0 / det
                 t = num2 * inv_det
                 u = s_ca * inv_det
                 v = s_ab * inv_det
@@ -250,6 +257,8 @@ def _fused_list_kernel(
                     & (u + v <= 1.0 + EPS)
                     & (t >= -EPS)
                 )
+                if debug:
+                    accept = accept & ~parallel
                 t_m = jnp.where(accept, t, F_MAX)
 
                 blk_min = jnp.min(t_m, axis=1, keepdims=True)  # (R, 1)
@@ -336,6 +345,7 @@ def nearest_hit_fused(
     block_list: jax.Array,  # (nt, nb) i32
     margin: jax.Array,  # () f32
     ray_tile: int = RAY_TILE,
+    debug: bool = False,
 ):
     """Returns (t (N,), idx (N,)) nearest accepted triangle per ray."""
     n = w.shape[0]
@@ -361,7 +371,7 @@ def nearest_hit_fused(
     )
     t_out, idx_out = pl.pallas_call(
         functools.partial(
-            _fused_list_kernel, tri_block=tri_block, n_blocks=nb
+            _fused_list_kernel, tri_block=tri_block, n_blocks=nb, debug=debug
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -442,6 +452,7 @@ def trace_pallas(
     tri_block: int = TRI_BLOCK,
     cull: bool = True,
     return_idx: bool = False,
+    debug: bool | None = None,
 ):
     """Full-scene nearest hit via the fused kernel; same result contract as
     ``ops.plucker.trace_mxu``.  ``alive`` (N,) bool lets the kernel skip
@@ -452,7 +463,13 @@ def trace_pallas(
     When ``cull=True`` and the world carries a fused pack, the worklist
     kernel is used and its triangle-block granularity is fixed at bake time
     (``bake_world_triangles(fused_tile=...)``); the ``tri_block`` parameter
-    only applies to the dense fallback kernel."""
+    only applies to the dense fallback kernel.
+
+    ``debug`` switches the accept chain to the explicit det==0 mask form
+    (None = the PTAP_DEBUG env var; see utils/debug.py)."""
+    from ..utils.debug import resolve_debug
+
+    debug = resolve_debug(debug)
     n = ro.shape[0]
     rd_n = normalize(rd)
     if alive is None:
@@ -482,7 +499,7 @@ def trace_pallas(
         )
         t, idx = nearest_hit_fused(
             w16, world.fused_ops, world.block_aabb, block_list, margin,
-            ray_tile=ray_tile,
+            ray_tile=ray_tile, debug=debug,
         )
     else:
         zeros2 = jnp.zeros((ro_p.shape[0], 2), jnp.float32)

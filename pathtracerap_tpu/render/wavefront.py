@@ -348,6 +348,16 @@ class Renderer:
         seed = cfg.seed if seed is None else seed
         key = jax.random.PRNGKey(seed)
         w, h = cfg.resolution
+
+        from ..utils.debug import debug_enabled
+
+        if debug_enabled() and self.world is not None and self.world.fused_ops is not None:
+            # PTAP_DEBUG=1: checkify the kernel invariants on a slice of
+            # primary rays before committing to the full render
+            from ..utils.debug import checked_trace
+
+            ro_d, rd_d = generate_rays(cfg.camera, cfg.resolution)
+            checked_trace(self.world, ro_d[:8192], rd_d[:8192])
         chunk = cfg.samples_per_chunk or cfg.samples_per_pixel
         accum = None
         done = 0
