@@ -162,6 +162,9 @@ def bake_world_triangles(
     )
 
     tw = a.shape[0]
+    # static real-triangle count (model-padding rows sort last): the soup's
+    # leading n_world_valid rows are the hittable triangles
+    n_world_valid = int(scene.n_world_valid) or tw
     # The fused operand pack is held whole in VMEM by the worklist kernel
     # and the megakernel; above ~16k triangles it no longer fits alongside
     # the compute transients, so big scenes automatically fall back to the
@@ -218,7 +221,7 @@ def bake_world_triangles(
         [cl_min.T, cl_max.T, jnp.zeros((2, cl_min.shape[0]), jnp.float32)], axis=0
     )  # (8, T/128)
 
-    fused_ops = block_aabb = attr_rows = None
+    fused_ops = block_aabb = attr_cols = None
     if fused_tile is not None:
         nb = t_pad // fused_tile
         # fused (16, 4*T) pack: per block, columns [ab | bc | ca | plane];
@@ -256,21 +259,33 @@ def bake_world_triangles(
         block_aabb = jnp.concatenate(
             [b_min - b_pad, b_max + b_pad, jnp.zeros((nb, 2), jnp.float32)], axis=-1
         )  # (nb, 8)
-        # per-triangle shading attributes as rows, for the megakernel's
-        # in-kernel argmin select: [shade_n(0:3), mat_type(3), rgb(4:7),
-        # geom_n(7:10), 0(10:16)] — geometric normal rows are selected only
-        # in quality mode (cosine factor, render/shade.py)
+        # Drop PURE-padding blocks structurally: their "inverted" AABB is
+        # not unhittable under the min/max-swapped slab test (the swap
+        # turns [+FMAX, -FMAX] into an always-hit ±inf box) — with them in
+        # the table every ray tile paid full visits to empty blocks.  Real
+        # triangles come first in the soup (fat | Morton | padding order),
+        # so the real blocks are exactly the leading ceil(n_valid / TB).
+        nb_real = -(-n_world_valid // fused_tile)
+        block_aabb = block_aabb[:nb_real]
+        # per-triangle shading attributes as (T, 16) columns, for the
+        # megakernel's in-kernel argmin select — ONE (R, TB) @ (TB, 16)
+        # HIGHEST-precision matmul per improving visit instead of 7+ VPU
+        # masked reductions: [shade_n(0:3), mat_type(3), rgb(4:7),
+        # geom_n(7:10), idx+1(10), 0(11:16)].  Column 10 carries the global
+        # triangle index + 1 (exact in f32 for any pack-sized scene) — the
+        # frozen-topology output of the differentiable replay (diff/fast.py)
         geom_n = normalize(n, eps=1e-30)
-        attr_rows = jnp.concatenate(
+        attr_cols = jnp.concatenate(
             [
-                padt(shade_n).T,
-                padt(mat_type.astype(jnp.float32))[None, :],
-                padt(mat_color).T,
-                padt(geom_n).T,
-                jnp.zeros((6, t_pad), jnp.float32),
+                padt(shade_n),
+                padt(mat_type.astype(jnp.float32))[:, None],
+                padt(mat_color),
+                padt(geom_n),
+                (jnp.arange(t_pad, dtype=jnp.float32) + 1.0)[:, None],
+                jnp.zeros((t_pad, 5), jnp.float32),
             ],
-            axis=0,
-        )  # (16, T)
+            axis=1,
+        )  # (T, 16)
 
     return WorldTriangles(
         edge_pluecker=edge_pluecker,
@@ -288,7 +303,9 @@ def bake_world_triangles(
         e2=padt(c - a),
         fused_ops=fused_ops,
         block_aabb=block_aabb,
-        attr_rows=attr_rows,
+        attr_cols=attr_cols,
+        tri_block=fused_tile or 0,
+        n_valid=n_world_valid,
     )
 
 

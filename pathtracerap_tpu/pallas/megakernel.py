@@ -238,8 +238,7 @@ def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity: b
 
 def _trace_inkernel(
     orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
-    tri_block: int, n_blocks: int, n_attrs: int = 7, with_idx: bool = False,
-    debug: bool = False,
+    tri_block: int, n_blocks: int, debug: bool = False,
 ):
     """Nearest hit + attribute select for the live wavefront, all in VMEM.
 
@@ -248,9 +247,12 @@ def _trace_inkernel(
     reference's per-model AABB gate + DDA early-out, Renderer.cpp:252,
     326-329 — but conservative: the returned hit never changes).
 
-    ``with_idx`` additionally tracks the winning global triangle index as
-    a trailing attrs column holding ``idx + 1`` (0 = miss) — the frozen hit
-    topology the differentiable replay consumes (diff/fast.py pattern).
+    The winning triangle's 16 attribute columns (shade normal, material,
+    color, geometric normal, idx+1 — see ``WorldTriangles.attr_cols``) are
+    selected by contracting the argmin one-hot against the block's
+    (TB, 16) attr slab in one HIGHEST-precision MXU matmul.  ``idx + 1``
+    (0 = miss) is the frozen hit topology the differentiable replay
+    consumes (diff/fast.py pattern).
     """
     r = orig.shape[0]
     d_n = _norm3(dirn)
@@ -328,20 +330,16 @@ def _trace_inkernel(
 
             def select(carry):
                 best_t, attrs = carry
-                acols = pl.ds(pl.multiple_of(blk * tri_block, tri_block), tri_block)
-                slab = attr_ref[:, acols]  # (16, TB)
+                arows = pl.ds(pl.multiple_of(blk * tri_block, tri_block), tri_block)
+                slab = attr_ref[arows, :]  # (TB, 16)
                 onehot = (col_iota == local_arg).astype(jnp.float32)  # (R, TB)
-                sel = [
-                    jnp.sum(onehot * slab[k : k + 1, :], axis=1, keepdims=True)
-                    for k in range(n_attrs)
-                ]
-                if with_idx:
-                    # trailing column: global triangle index + 1 (f32 exact
-                    # for any VMEM-pack-sized scene, <= 16384 triangles)
-                    sel.append(
-                        (blk * tri_block + local_arg + 1).astype(jnp.float32)
-                    )
-                new_attrs = jnp.concatenate(sel, axis=1)  # (R, n_attrs[+1])
+                # HIGHEST so attribute values pass through exactly (the
+                # one-hot contraction sums a single f32 term per output;
+                # bf16 passes would corrupt mat_type/idx)
+                new_attrs = jnp.dot(
+                    onehot, slab, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (R, 16)
                 return (
                     jnp.where(improve, blk_min, best_t),
                     jnp.where(improve, new_attrs, attrs),
@@ -351,19 +349,16 @@ def _trace_inkernel(
 
         return jax.lax.cond(jnp.any(box_hit), compute, lambda c: c, (best_t, attrs))
 
-    width = n_attrs + (1 if with_idx else 0)
     best_t, attrs = jax.lax.fori_loop(
         0,
         n_blocks,
         visit,
         (jnp.full((r, 1), F_MAX, jnp.float32),
-         jnp.zeros((r, width), jnp.float32)),
+         jnp.zeros((r, 16), jnp.float32)),
     )
-    gn = attrs[:, 7:10] if n_attrs >= 10 else attrs[:, 0:3]
-    out = (best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7], gn)
-    if with_idx:
-        return out + (attrs[:, n_attrs : n_attrs + 1],)
-    return out
+    # [shade_n, mat_type, rgb, geom_n, idx+1] — see WorldTriangles.attr_cols
+    return (best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7],
+            attrs[:, 7:10], attrs[:, 10:11])
 
 
 def _megakernel(
@@ -391,8 +386,6 @@ def _megakernel(
     dirn = w_ref[:, 0:3]
     color = jnp.ones((r, 3), jnp.float32)
     remaining = jnp.full((r, 1), float(max_bounces), jnp.float32)
-    # quality mode additionally selects the geometric-normal rows
-    n_attrs = 7 if parity else 10
     idx_cols = []
 
     for b in range(max_bounces):
@@ -404,15 +397,10 @@ def _megakernel(
             gn = prim_ref[:, 8:11]
             idx1 = prim_ref[:, 11:12]
         else:
-            traced = _trace_inkernel(
+            t, n, mt, mc, gn, idx1 = _trace_inkernel(
                 orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
-                tri_block, n_blocks, n_attrs=n_attrs, with_idx=emit_idx,
-                debug=debug,
+                tri_block, n_blocks, debug=debug,
             )
-            if emit_idx:
-                t, n, mt, mc, gn, idx1 = traced
-            else:
-                t, n, mt, mc, gn = traced
         if emit_idx:
             # a frozen topology entry only counts where the lane was live
             idx_cols.append(jnp.where(remaining > 0.0, idx1, 0.0))
@@ -445,7 +433,7 @@ def _sample_pallas_call(
 ):
     n = w16.shape[0]
     nb = world.block_aabb.shape[0]
-    tri_block = world.fused_ops.shape[1] // (4 * nb)
+    tri_block = world.tri_block
     assert n % ray_tile == 0, (n, ray_tile)
     nt = n // ray_tile
     ucols = uniforms.shape[1]
@@ -464,7 +452,7 @@ def _sample_pallas_call(
             pl.BlockSpec((ray_tile, 12), lambda i, A, M: (i, 0)),
             pl.BlockSpec((ray_tile, ucols), lambda i, A, M: (i, 0)),
             pl.BlockSpec((16, world.fused_ops.shape[1]), lambda i, A, M: (0, 0)),
-            pl.BlockSpec((16, world.attr_rows.shape[1]), lambda i, A, M: (0, 0)),
+            pl.BlockSpec((world.attr_cols.shape[0], 16), lambda i, A, M: (0, 0)),
         ],
         out_specs=out_specs,
     )
@@ -492,7 +480,7 @@ def _sample_pallas_call(
         interpret=_interpret(),
     )(
         world.block_aabb, margin.reshape(1),
-        w16, prim, uniforms, world.fused_ops, world.attr_rows,
+        w16, prim, uniforms, world.fused_ops, world.attr_cols,
     )
     if emit_idx:
         return outs[0][:, 0:3], outs[1]
@@ -670,10 +658,9 @@ def _bounce_kernel(
     dirn = st_ref[:, 3:6]
     color = st_ref[:, 6:9]
     remaining = st_ref[:, 9:10]
-    n_attrs = 7 if parity else 10
-    t, n, mt, mc, gn = _trace_inkernel(
+    t, n, mt, mc, gn, _ = _trace_inkernel(
         orig, dirn, remaining, aabb_ref, margin_ref[0], ops_ref, attr_ref,
-        tri_block, n_blocks, n_attrs=n_attrs, debug=debug,
+        tri_block, n_blocks, debug=debug,
     )
     orig, dirn, color, remaining = _shade_inkernel(
         orig, dirn, color, remaining, t, n, mt, mc, gn, u_ref[:], parity
@@ -687,7 +674,7 @@ def _bounce_kernel(
 def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
     n = pack.shape[0]
     nb = world.block_aabb.shape[0]
-    tri_block = world.fused_ops.shape[1] // (4 * nb)
+    tri_block = world.tri_block
     nt = n // ray_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -696,7 +683,7 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
             pl.BlockSpec((ray_tile, 16), lambda i, A, M: (i, 0)),
             pl.BlockSpec((ray_tile, 4), lambda i, A, M: (i, 0)),
             pl.BlockSpec((16, world.fused_ops.shape[1]), lambda i, A, M: (0, 0)),
-            pl.BlockSpec((16, world.attr_rows.shape[1]), lambda i, A, M: (0, 0)),
+            pl.BlockSpec((world.attr_cols.shape[0], 16), lambda i, A, M: (0, 0)),
         ],
         out_specs=[pl.BlockSpec((ray_tile, 16), lambda i, A, M: (i, 0))],
     )
@@ -710,13 +697,19 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(world.block_aabb, margin.reshape(1), pack, u, world.fused_ops,
-      world.attr_rows)
+      world.attr_cols)
     return out
 
 
 def _sort_keys(pack, lo, hi):
-    """(N,) i32 sort key: 21-bit origin Morton (top bits of the 30-bit
-    code), 3-bit direction octant; dead rays sink to the end."""
+    """(N,) i32 sort key: 3-bit direction octant (major), 21-bit origin
+    Morton (minor); dead rays sink to the end.
+
+    Octant-major, not origin-major: measured per-live-tile slab-reachable
+    blocks on the reference scene's secondary bounces are ~5.5/8 under
+    octant-major vs ~7.7/8 under origin-major (scripts/prof_r3_visits.py)
+    — a tile's block-union frustum is dominated by direction spread, not
+    origin spread."""
     from ..ops.plucker import _morton3
 
     orig = pack[:, 0:3]
@@ -728,7 +721,7 @@ def _sort_keys(pack, lo, hi):
         + (d[:, 1] < 0).astype(jnp.int32) * 2
         + (d[:, 2] < 0).astype(jnp.int32)
     )
-    key = (morton << 3) | oct_
+    key = (oct_ << 21) | morton
     return jnp.where(alive, key, jnp.int32(1 << 30))
 
 

@@ -346,11 +346,13 @@ def nearest_hit_fused(
     margin: jax.Array,  # () f32
     ray_tile: int = RAY_TILE,
     debug: bool = False,
+    tri_block: int | None = None,
 ):
     """Returns (t (N,), idx (N,)) nearest accepted triangle per ray."""
     n = w.shape[0]
     nb = block_aabb.shape[0]
-    tri_block = fused_ops.shape[1] // (4 * nb)
+    if tri_block is None:
+        tri_block = fused_ops.shape[1] // (4 * nb)
     assert n % ray_tile == 0, (n, ray_tile)
     nt = n // ray_tile
     assert block_list.shape == (nt, nb), (block_list.shape, nt, nb)
@@ -397,8 +399,15 @@ def nearest_hit(
     ray_tile: int = RAY_TILE,
     tri_block: int = TRI_BLOCK,
     cull: bool = True,
+    n_valid: int = 0,
 ):
-    """Returns (t (N,), idx (N,)) nearest accepted triangle per ray."""
+    """Returns (t (N,), idx (N,)) nearest accepted triangle per ray.
+
+    ``n_valid`` (when known) restricts the triangle-block grid dimension to
+    blocks containing real triangles — trailing pure-padding blocks are
+    never unhittable geometrically (the slab test's min/max swap turns an
+    inverted AABB into an always-hit box), so they must be excluded from
+    the sweep itself."""
     n = w.shape[0]
     t_tris = plane_mat.shape[1]
     assert n % ray_tile == 0, (n, ray_tile)
@@ -407,7 +416,10 @@ def nearest_hit(
     while t_tris % tri_block:
         tri_block -= 128
     assert tri_block >= 128, (t_tris,)
-    grid = (n // ray_tile, t_tris // tri_block)
+    nb = t_tris // tri_block
+    if n_valid:
+        nb = min(nb, -(-n_valid // tri_block))
+    grid = (n // ray_tile, nb)
 
     t_out, idx_out = pl.pallas_call(
         functools.partial(_nearest_hit_kernel, cull=cull),
@@ -499,7 +511,7 @@ def trace_pallas(
         )
         t, idx = nearest_hit_fused(
             w16, world.fused_ops, world.block_aabb, block_list, margin,
-            ray_tile=ray_tile, debug=debug,
+            ray_tile=ray_tile, debug=debug, tri_block=world.tri_block or None,
         )
     else:
         zeros2 = jnp.zeros((ro_p.shape[0], 2), jnp.float32)
@@ -511,6 +523,7 @@ def trace_pallas(
         t, idx = nearest_hit(
             w, wo, world.edge_mat, world.plane_mat, world.cluster_aabb,
             ray_tile=ray_tile, tri_block=tri_block, cull=cull,
+            n_valid=world.n_valid,
         )
     t = t[:n]
     idx = jnp.maximum(idx[:n], 0)

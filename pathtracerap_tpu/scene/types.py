@@ -153,6 +153,7 @@ class SceneHost:
             per_voxel_tris=as_jnp(self.per_voxel_tris),
             voxel_tris_ell=as_jnp(self.voxel_tris_ell),
             grid_dims=tuple(self.grid_dims),
+            n_world_valid=int((world_tri_src >= 0).sum()),
         )
 
 
@@ -181,6 +182,10 @@ class SceneDevice:
     world_tri_src: jax.Array  # (Tw,) i32 global triangle per world instance tri
     world_tri_model: jax.Array  # (Tw,) i32 owning model instance
     grid_dims: tuple = struct.field(pytree_node=False, default=(25, 25, 25))
+    # number of REAL instanced triangles in world_tri_src (entries >= 0) — a
+    # static count the bake uses to drop pure-padding traversal blocks
+    # (see WorldTriangles); 0 means unknown (legacy construction)
+    n_world_valid: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_models(self) -> int:
@@ -230,12 +235,22 @@ class WorldTriangles:
     # [0(0:6), -n(6:9), -d_plane(9), 0...] so the product is t*det directly.
     fused_ops: jax.Array | None = None  # (16, 4*T) f32
     block_aabb: jax.Array | None = None  # (nb, 8) f32 [min xyz, max xyz, 0, 0]
-    # Per-triangle shading attribute rows for in-kernel hit-attribute
+    # Per-triangle shading attribute columns for in-kernel hit-attribute
     # selection (megakernel): [shade_n(0:3), mat_type(3), rgb(4:7),
-    # geom_n(7:10), 0(10:16)] x T.  Consumed as (16, TB) slabs broadcast
-    # against the per-visit argmin one-hot — the TPU replacement for the
+    # geom_n(7:10), idx+1(10), 0(11:16)] per row.  Consumed as (TB, 16)
+    # slabs contracted against the per-visit argmin one-hot in ONE
+    # HIGHEST-precision MXU matmul — the TPU replacement for the
     # reference's per-thread struct reads at Renderer.cpp:393-398.
-    attr_rows: jax.Array | None = None  # (16, T) f32
+    attr_cols: jax.Array | None = None  # (T, 16) f32
+    # Static block geometry.  ``block_aabb`` holds ONLY blocks containing
+    # real triangles: a pure-padding block's "inverted" AABB is NOT
+    # unhittable under the min/max-swapped slab test (the swap turns it
+    # into an always-hit box spanning ±inf), so such blocks must be
+    # excluded structurally, not geometrically.  ``tri_block`` is the
+    # fused-pack block width (fused_tile at bake; 0 when no fused pack);
+    # ``n_valid`` the real-triangle count (soup order puts them first).
+    tri_block: int = struct.field(pytree_node=False, default=0)
+    n_valid: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_triangles(self) -> int:
