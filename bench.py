@@ -32,7 +32,10 @@ def main() -> None:
     enable_compile_cache()
 
     resolution = (1000, 800)
-    spp = 8
+    # enough samples to amortize the fixed per-dispatch cost (~0.4 s through
+    # the axon tunnel) the way the reference's 500-iteration run does
+    # (Renderer.cpp:582); throughput converges by ~24 spp
+    spp = 24
     max_bounces = 5
 
     # absorb the (highly variable) first-compile-in-process service cost on
