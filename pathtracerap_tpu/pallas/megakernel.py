@@ -349,12 +349,15 @@ def _trace_inkernel(
 
         return jax.lax.cond(jnp.any(box_hit), compute, lambda c: c, (best_t, attrs))
 
+    # unroll small block counts: straight-line code lets Mosaic schedule
+    # across visits instead of paying loop-carried bookkeeping per block
     best_t, attrs = jax.lax.fori_loop(
         0,
         n_blocks,
         visit,
         (jnp.full((r, 1), F_MAX, jnp.float32),
          jnp.zeros((r, 16), jnp.float32)),
+        unroll=n_blocks <= 8,
     )
     # [shade_n, mat_type, rgb, geom_n, idx+1] — see WorldTriangles.attr_cols
     return (best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7],
