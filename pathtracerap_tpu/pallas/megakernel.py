@@ -71,6 +71,13 @@ import os as _os
 
 PRECISION_MODE = _os.environ.get("PTAP_MM_PRECISION", "bf16x3")
 
+# A/B experiment flag: re-enable the per-visit lax.cond gates (AABB block
+# skip + select skip) in the whole-sample megakernel.  Branch-free sweeps
+# are the DEFAULT: every vector->scalar any() + branch is a Mosaic pipeline
+# sync, measured (scripts/prof_r3_*.py, TPU v5e) to cost as much as the
+# compute the gate skips at reference-scene block counts.
+BLOCK_SKIP = _os.environ.get("PTAP_BLOCK_SKIP", "0") == "1"
+
 
 def _mm(a, b):
     """Matmul at the configured traversal precision (see PRECISION_MODE)."""
@@ -238,14 +245,22 @@ def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity: b
 
 def _trace_inkernel(
     orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
-    tri_block: int, n_blocks: int, debug: bool = False,
+    tri_block: int, n_blocks: int, debug: bool = False, worklist=None,
 ):
     """Nearest hit + attribute select for the live wavefront, all in VMEM.
 
-    Blocks are visited in ascending index order with per-visit AABB culling
-    against the running per-ray best (the wavefront analog of the
-    reference's per-model AABB gate + DDA early-out, Renderer.cpp:252,
-    326-329 — but conservative: the returned hit never changes).
+    Visits are BRANCH-FREE: every ``jnp.any``-gated ``lax.cond`` is a
+    vector-reduce + scalar-branch Mosaic pipeline sync, measured to cost as
+    much as the compute it can skip at these block counts.  Two modes:
+
+    * ``worklist=None`` (the whole-sample megakernel, which cannot know
+      future bounce positions at trace time): sweep ALL real blocks in
+      ascending index order unconditionally.  ``PTAP_BLOCK_SKIP=1``
+      restores the per-visit AABB+distance ``lax.cond`` gates for A/B.
+    * ``worklist=(nv, list_at)`` (the per-bounce binned engine, whose
+      wavefront lives in HBM between bounces): visit exactly the blocks an
+      XLA-level slab pass selected, via a dynamic-trip-count ``fori_loop``
+      — empty (dead/fully-culled) tiles cost zero visits.
 
     The winning triangle's 16 attribute columns (shade normal, material,
     color, geometric normal, idx+1 — see ``WorldTriangles.attr_cols``) are
@@ -263,13 +278,84 @@ def _trace_inkernel(
          jnp.zeros((r, 5), jnp.float32)],
         axis=1,
     )
-    small = jnp.abs(d_n) < 1e-12
-    inv_d = 1.0 / jnp.where(small, jnp.where(d_n < 0.0, -1e-12, 1e-12), d_n)
-    alive = alive_f > 0.0
+    gated = BLOCK_SKIP and worklist is None
+    if gated:
+        small = jnp.abs(d_n) < 1e-12
+        inv_d = 1.0 / jnp.where(small, jnp.where(d_n < 0.0, -1e-12, 1e-12), d_n)
+        alive = alive_f > 0.0
 
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (r, tri_block), 1)
 
-    def visit(blk, carry):
+    def visit_block(blk, carry):
+        best_t, attrs = carry
+        cols = pl.ds(
+            pl.multiple_of(blk * (4 * tri_block), 4 * tri_block), 4 * tri_block
+        )
+        s = _mm(w16, ops_ref[:, cols])  # (R, 4*TB)
+        s_ab = s[:, 0:tri_block]
+        s_bc = s[:, tri_block : 2 * tri_block]
+        s_ca = s[:, 2 * tri_block : 3 * tri_block]
+        num2 = s[:, 3 * tri_block :]  # t * det (plane columns negated)
+
+        det = s_ab + s_bc + s_ca
+        if debug:
+            # explicit-mask form (PTAP_DEBUG=1) — regression guard for
+            # the IEEE reasoning below (utils/debug.py)
+            parallel = det == 0.0
+            inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+        else:
+            # det == 0 lanes produce inf/NaN in u/v/t; every IEEE
+            # compare with NaN is false and +-inf fails one of the range
+            # tests, so the explicit `parallel` mask of the AD-safe
+            # engines is unnecessary here (this kernel is never
+            # differentiated) — saves 3 VPU slab passes per visit
+            inv_det = 1.0 / det
+        t = num2 * inv_det
+        u = s_ca * inv_det
+        v = s_ab * inv_det
+        accept = (
+            (u >= -EPS)
+            & (u <= 1.0 + EPS)
+            & (v >= -EPS)
+            & (u + v <= 1.0 + EPS)
+            & (t >= -EPS)
+        )
+        if debug:
+            accept = accept & ~parallel
+        t_m = jnp.where(accept, t, F_MAX)
+        blk_min = jnp.min(t_m, axis=1, keepdims=True)
+        local_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None]
+
+        # lexicographic (t, idx) tie-break, matching the other engines.
+        # In ascending-block order the strict < suffices; worklist mode
+        # visits blocks tmin-sorted (out of index order), so exact-t ties
+        # across blocks (shared mesh edges) need the explicit index compare
+        # against the running winner's idx+1 column.
+        improve = blk_min < best_t
+        if worklist is not None:
+            new_idx1 = (blk * tri_block + local_arg + 1).astype(jnp.float32)
+            improve = improve | (
+                (blk_min == best_t)
+                & (blk_min < F_MAX)
+                & (new_idx1 < attrs[:, 10:11])
+            )
+
+        arows = pl.ds(pl.multiple_of(blk * tri_block, tri_block), tri_block)
+        slab = attr_ref[arows, :]  # (TB, 16)
+        onehot = (col_iota == local_arg).astype(jnp.float32)  # (R, TB)
+        # HIGHEST so attribute values pass through exactly (the one-hot
+        # contraction sums a single f32 term per output; bf16 passes would
+        # corrupt mat_type/idx)
+        new_attrs = jnp.dot(
+            onehot, slab, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (R, 16)
+        return (
+            jnp.where(improve, blk_min, best_t),
+            jnp.where(improve, new_attrs, attrs),
+        )
+
+    def visit_gated(blk, carry):
         best_t, attrs = carry
         bb_min = jnp.stack([aabb_ref[blk, 0], aabb_ref[blk, 1], aabb_ref[blk, 2]])
         bb_max = jnp.stack([aabb_ref[blk, 3], aabb_ref[blk, 4], aabb_ref[blk, 5]])
@@ -283,82 +369,27 @@ def _trace_inkernel(
             & (tmin - margin <= best_t)
             & alive
         )
+        return jax.lax.cond(
+            jnp.any(box_hit), lambda c: visit_block(blk, c), lambda c: c, carry
+        )
 
-        def compute(carry):
-            best_t, attrs = carry
-            cols = pl.ds(
-                pl.multiple_of(blk * (4 * tri_block), 4 * tri_block), 4 * tri_block
-            )
-            s = _mm(w16, ops_ref[:, cols])  # (R, 4*TB)
-            s_ab = s[:, 0:tri_block]
-            s_bc = s[:, tri_block : 2 * tri_block]
-            s_ca = s[:, 2 * tri_block : 3 * tri_block]
-            num2 = s[:, 3 * tri_block :]  # t * det (plane columns negated)
-
-            det = s_ab + s_bc + s_ca
-            if debug:
-                # explicit-mask form (PTAP_DEBUG=1) — regression guard for
-                # the IEEE reasoning below (utils/debug.py)
-                parallel = det == 0.0
-                inv_det = 1.0 / jnp.where(parallel, 1.0, det)
-            else:
-                # det == 0 lanes produce inf/NaN in u/v/t; every IEEE
-                # compare with NaN is false and +-inf fails one of the range
-                # tests, so the explicit `parallel` mask of the AD-safe
-                # engines is unnecessary here (this kernel is never
-                # differentiated) — saves 3 VPU slab passes per visit
-                inv_det = 1.0 / det
-            t = num2 * inv_det
-            u = s_ca * inv_det
-            v = s_ab * inv_det
-            accept = (
-                (u >= -EPS)
-                & (u <= 1.0 + EPS)
-                & (v >= -EPS)
-                & (u + v <= 1.0 + EPS)
-                & (t >= -EPS)
-            )
-            if debug:
-                accept = accept & ~parallel
-            t_m = jnp.where(accept, t, F_MAX)
-            blk_min = jnp.min(t_m, axis=1, keepdims=True)
-            local_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None]
-
-            # ascending-block visit order + strict < == lexicographic
-            # (t, idx) tie-break, matching the other engines
-            improve = blk_min < best_t
-
-            def select(carry):
-                best_t, attrs = carry
-                arows = pl.ds(pl.multiple_of(blk * tri_block, tri_block), tri_block)
-                slab = attr_ref[arows, :]  # (TB, 16)
-                onehot = (col_iota == local_arg).astype(jnp.float32)  # (R, TB)
-                # HIGHEST so attribute values pass through exactly (the
-                # one-hot contraction sums a single f32 term per output;
-                # bf16 passes would corrupt mat_type/idx)
-                new_attrs = jnp.dot(
-                    onehot, slab, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (R, 16)
-                return (
-                    jnp.where(improve, blk_min, best_t),
-                    jnp.where(improve, new_attrs, attrs),
-                )
-
-            return jax.lax.cond(jnp.any(improve), select, lambda c: c, (best_t, attrs))
-
-        return jax.lax.cond(jnp.any(box_hit), compute, lambda c: c, (best_t, attrs))
-
-    # unroll small block counts: straight-line code lets Mosaic schedule
-    # across visits instead of paying loop-carried bookkeeping per block
-    best_t, attrs = jax.lax.fori_loop(
-        0,
-        n_blocks,
-        visit,
-        (jnp.full((r, 1), F_MAX, jnp.float32),
-         jnp.zeros((r, 16), jnp.float32)),
-        unroll=n_blocks <= 8,
-    )
+    init = (jnp.full((r, 1), F_MAX, jnp.float32),
+            jnp.zeros((r, 16), jnp.float32))
+    if worklist is not None:
+        nv, list_at = worklist
+        best_t, attrs = jax.lax.fori_loop(
+            0, nv, lambda j, c: visit_block(list_at(j), c), init
+        )
+    else:
+        # unroll small block counts: straight-line code lets Mosaic
+        # schedule across visits without loop-carried bookkeeping
+        best_t, attrs = jax.lax.fori_loop(
+            0,
+            n_blocks,
+            visit_gated if gated else visit_block,
+            init,
+            unroll=n_blocks <= 8,
+        )
     # [shade_n, mat_type, rgb, geom_n, idx+1] — see WorldTriangles.attr_cols
     return (best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7],
             attrs[:, 7:10], attrs[:, 10:11])
@@ -644,26 +675,34 @@ def render_samples_fused(
 
 
 def _bounce_kernel(
-    aabb_ref,  # SMEM (nb, 8)
-    margin_ref,  # SMEM (1,)
+    len_ref,  # SMEM (nt,) i32 — per-tile worklist length
+    list_ref,  # SMEM (nt, nb) i32 — per-tile tmin-sorted block worklist
     st_ref,  # (R, 16) [orig(0:3), dir(3:6), color(6:9), remaining(9), 0...]
     u_ref,  # (R, 4)
     ops_ref,  # (16, 4*T)
-    attr_ref,  # (16, T)
+    attr_ref,  # (T, 16)
     out_ref,  # (R, 16)
     *,
     tri_block: int,
-    n_blocks: int,
     parity: bool,
     debug: bool = False,
 ):
+    """One binned wavefront bounce: branch-free worklist trace + shade.
+
+    The visit set comes entirely from the XLA-level slab pass
+    (``trace._tile_block_lists`` on the sorted wavefront) — the kernel
+    runs exactly ``len_ref[i]`` visits with zero vector->scalar syncs;
+    dead/fully-culled tiles run none.
+    """
+    i = pl.program_id(0)
     orig = st_ref[:, 0:3]
     dirn = st_ref[:, 3:6]
     color = st_ref[:, 6:9]
     remaining = st_ref[:, 9:10]
     t, n, mt, mc, gn, _ = _trace_inkernel(
-        orig, dirn, remaining, aabb_ref, margin_ref[0], ops_ref, attr_ref,
-        tri_block, n_blocks, debug=debug,
+        orig, dirn, remaining, None, 0.0, ops_ref, attr_ref,
+        tri_block, 0, debug=debug,
+        worklist=(len_ref[i], lambda j: list_ref[i, j]),
     )
     orig, dirn, color, remaining = _shade_inkernel(
         orig, dirn, color, remaining, t, n, mt, mc, gn, u_ref[:], parity
@@ -675,32 +714,42 @@ def _bounce_kernel(
 
 
 def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
+    from .trace import _tile_block_lists
+
     n = pack.shape[0]
-    nb = world.block_aabb.shape[0]
     tri_block = world.tri_block
     nt = n // ray_tile
+
+    orig = pack[:, 0:3]
+    d_n = pack[:, 3:6] * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(pack[:, 3:6] ** 2, axis=1, keepdims=True), 1e-30)
+    )
+    alive_f = (pack[:, 9:10] > 0.0).astype(jnp.float32)
+    block_list = _tile_block_lists(
+        world.block_aabb, orig, d_n, alive_f, ray_tile, margin
+    )
+    lens = jnp.sum((block_list >= 0).astype(jnp.int32), axis=1)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((ray_tile, 16), lambda i, A, M: (i, 0)),
-            pl.BlockSpec((ray_tile, 4), lambda i, A, M: (i, 0)),
-            pl.BlockSpec((16, world.fused_ops.shape[1]), lambda i, A, M: (0, 0)),
-            pl.BlockSpec((world.attr_cols.shape[0], 16), lambda i, A, M: (0, 0)),
+            pl.BlockSpec((ray_tile, 16), lambda i, L, W: (i, 0)),
+            pl.BlockSpec((ray_tile, 4), lambda i, L, W: (i, 0)),
+            pl.BlockSpec((16, world.fused_ops.shape[1]), lambda i, L, W: (0, 0)),
+            pl.BlockSpec((world.attr_cols.shape[0], 16), lambda i, L, W: (0, 0)),
         ],
-        out_specs=[pl.BlockSpec((ray_tile, 16), lambda i, A, M: (i, 0))],
+        out_specs=[pl.BlockSpec((ray_tile, 16), lambda i, L, W: (i, 0))],
     )
     (out,) = pl.pallas_call(
         functools.partial(
-            _bounce_kernel, tri_block=tri_block, n_blocks=nb, parity=parity,
-            debug=debug,
+            _bounce_kernel, tri_block=tri_block, parity=parity, debug=debug
         ),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n, 16), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(world.block_aabb, margin.reshape(1), pack, u, world.fused_ops,
-      world.attr_cols)
+    )(lens, block_list, pack, u, world.fused_ops, world.attr_cols)
     return out
 
 

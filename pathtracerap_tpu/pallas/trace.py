@@ -178,116 +178,90 @@ def _interpret() -> bool:
 
 
 def _fused_list_kernel(
+    len_ref,  # SMEM (nt,) i32 — per-tile worklist length
     list_ref,  # SMEM (nt, nb) i32 — per-tile block worklist, -1 padded
-    aabb_ref,  # SMEM (nb, 8) f32 — per-block [min xyz, max xyz, 0, 0]
-    margin_ref,  # SMEM (1,) f32 — scale-relative slab margin
     w_ref,  # (R, 16)  [dir, orig x dir, orig, -1, alive, 0...]
     ops_ref,  # (16, 4*T) fused operand pack (block-grouped columns)
     t_out,  # (R, 1)
     idx_out,  # (R, 1) i32
     *,
     tri_block: int,
-    n_blocks: int,
     debug: bool = False,
 ):
-    i = pl.program_id(0)
+    """Worklist sweep with NO in-kernel vector->scalar syncs.
 
-    dirs = w_ref[:, 0:3]
-    o = w_ref[:, 6:9]
-    alive = w_ref[:, 10:11] > 0.0
-    small = jnp.abs(dirs) < 1e-12
-    dirs_safe = jnp.where(small, jnp.where(dirs < 0.0, -1e-12, 1e-12), dirs)
-    inv_d = 1.0 / dirs_safe
-    margin = margin_ref[0]
+    Every ``jnp.any(...)``-gated ``lax.cond`` costs a vector-reduce +
+    scalar-branch pipeline sync per visit — measured to cost as much as
+    the compute it can skip at this block size.  Here the per-tile visit
+    set is decided entirely OUTSIDE the kernel (XLA slab tests,
+    ``_tile_block_lists``) and the kernel just runs a dynamic-trip-count
+    ``fori_loop`` over exactly the listed blocks: branch-free visits,
+    empty tiles cost nothing.
+    """
+    i = pl.program_id(0)
 
     def visit(j, carry):
         best_t, best_idx = carry
         blk = list_ref[i, j]
+        cols = pl.ds(pl.multiple_of(blk * (4 * tri_block), 4 * tri_block), 4 * tri_block)
+        s = jnp.dot(
+            w_ref[:],
+            ops_ref[:, cols],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (R, 4*TB)
+        s_ab = s[:, 0:tri_block]
+        s_bc = s[:, tri_block : 2 * tri_block]
+        s_ca = s[:, 2 * tri_block : 3 * tri_block]
+        num2 = s[:, 3 * tri_block :]  # t * det (plane columns negated)
 
-        def live(carry):
-            best_t, best_idx = carry
-            # per-ray recheck with the running best: skip the matmul when no
-            # live ray can improve inside this block's (inflated) AABB
-            bb_min = jnp.stack([aabb_ref[blk, 0], aabb_ref[blk, 1], aabb_ref[blk, 2]])
-            bb_max = jnp.stack([aabb_ref[blk, 3], aabb_ref[blk, 4], aabb_ref[blk, 5]])
-            lo = (bb_min[None, :] - o) * inv_d
-            hi = (bb_max[None, :] - o) * inv_d
-            tmin = jnp.max(jnp.minimum(lo, hi), axis=1, keepdims=True)  # (R, 1)
-            tmax = jnp.min(jnp.maximum(lo, hi), axis=1, keepdims=True)
-            box_hit = (
-                (tmax >= -margin)
-                & (tmin <= tmax + margin)
-                & (tmin - margin <= best_t)
-                & alive
-            )
+        det = s_ab + s_bc + s_ca
+        if debug:
+            # explicit-mask form (PTAP_DEBUG=1): the regression
+            # guard for the IEEE reasoning below (utils/debug.py)
+            parallel = det == 0.0
+            inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+        else:
+            # IEEE inf/NaN from det == 0 fail the range tests below,
+            # so no explicit parallel mask is needed (kernel is never
+            # differentiated; see megakernel._trace_inkernel)
+            inv_det = 1.0 / det
+        t = num2 * inv_det
+        u = s_ca * inv_det
+        v = s_ab * inv_det
 
-            def compute(carry):
-                best_t, best_idx = carry
-                cols = pl.ds(pl.multiple_of(blk * (4 * tri_block), 4 * tri_block), 4 * tri_block)
-                s = jnp.dot(
-                    w_ref[:],
-                    ops_ref[:, cols],
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (R, 4*TB)
-                s_ab = s[:, 0:tri_block]
-                s_bc = s[:, tri_block : 2 * tri_block]
-                s_ca = s[:, 2 * tri_block : 3 * tri_block]
-                num2 = s[:, 3 * tri_block :]  # t * det (plane columns negated)
+        accept = (
+            (u >= -EPS)
+            & (u <= 1.0 + EPS)
+            & (v >= -EPS)
+            & (u + v <= 1.0 + EPS)
+            & (t >= -EPS)
+        )
+        if debug:
+            accept = accept & ~parallel
+        t_m = jnp.where(accept, t, F_MAX)
 
-                det = s_ab + s_bc + s_ca
-                if debug:
-                    # explicit-mask form (PTAP_DEBUG=1): the regression
-                    # guard for the IEEE reasoning below (utils/debug.py)
-                    parallel = det == 0.0
-                    inv_det = 1.0 / jnp.where(parallel, 1.0, det)
-                else:
-                    # IEEE inf/NaN from det == 0 fail the range tests below,
-                    # so no explicit parallel mask is needed (kernel is never
-                    # differentiated; see megakernel._trace_inkernel)
-                    inv_det = 1.0 / det
-                t = num2 * inv_det
-                u = s_ca * inv_det
-                v = s_ab * inv_det
+        blk_min = jnp.min(t_m, axis=1, keepdims=True)  # (R, 1)
+        blk_arg = (
+            jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None]
+            + blk * tri_block
+        )
 
-                accept = (
-                    (u >= -EPS)
-                    & (u <= 1.0 + EPS)
-                    & (v >= -EPS)
-                    & (u + v <= 1.0 + EPS)
-                    & (t >= -EPS)
-                )
-                if debug:
-                    accept = accept & ~parallel
-                t_m = jnp.where(accept, t, F_MAX)
-
-                blk_min = jnp.min(t_m, axis=1, keepdims=True)  # (R, 1)
-                blk_arg = (
-                    jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None]
-                    + blk * tri_block
-                )
-
-                # lexicographic (t, idx): exact-t ties resolve to the lowest
-                # triangle index regardless of per-tile visit order, matching
-                # the dense kernel / MXU engine argmin-first semantics
-                improve = (blk_min < best_t) | (
-                    (blk_min == best_t) & (blk_arg < best_idx) & (blk_min < F_MAX)
-                )
-                return (
-                    jnp.where(improve, blk_min, best_t),
-                    jnp.where(improve, blk_arg, best_idx),
-                )
-
-            return jax.lax.cond(
-                jnp.any(box_hit), compute, lambda c: c, (best_t, best_idx)
-            )
-
-        return jax.lax.cond(blk >= 0, live, lambda c: c, (best_t, best_idx))
+        # lexicographic (t, idx): exact-t ties resolve to the lowest
+        # triangle index regardless of per-tile visit order, matching
+        # the dense kernel / MXU engine argmin-first semantics
+        improve = (blk_min < best_t) | (
+            (blk_min == best_t) & (blk_arg < best_idx) & (blk_min < F_MAX)
+        )
+        return (
+            jnp.where(improve, blk_min, best_t),
+            jnp.where(improve, blk_arg, best_idx),
+        )
 
     n = w_ref.shape[0]
     best_t, best_idx = jax.lax.fori_loop(
         0,
-        n_blocks,
+        len_ref[i],
         visit,
         (jnp.full((n, 1), F_MAX, jnp.float32), jnp.full((n, 1), -1, jnp.int32)),
     )
@@ -356,24 +330,25 @@ def nearest_hit_fused(
     assert n % ray_tile == 0, (n, ray_tile)
     nt = n // ray_tile
     assert block_list.shape == (nt, nb), (block_list.shape, nt, nb)
+    lens = jnp.sum((block_list >= 0).astype(jnp.int32), axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((ray_tile, 16), lambda i, L, A, M: (i, 0)),
+            pl.BlockSpec((ray_tile, 16), lambda i, L, W: (i, 0)),
             pl.BlockSpec(
-                (16, fused_ops.shape[1]), lambda i, L, A, M: (0, 0)
+                (16, fused_ops.shape[1]), lambda i, L, W: (0, 0)
             ),  # whole pack VMEM-resident, DMA'd once
         ],
         out_specs=[
-            pl.BlockSpec((ray_tile, 1), lambda i, L, A, M: (i, 0)),
-            pl.BlockSpec((ray_tile, 1), lambda i, L, A, M: (i, 0)),
+            pl.BlockSpec((ray_tile, 1), lambda i, L, W: (i, 0)),
+            pl.BlockSpec((ray_tile, 1), lambda i, L, W: (i, 0)),
         ],
     )
     t_out, idx_out = pl.pallas_call(
         functools.partial(
-            _fused_list_kernel, tri_block=tri_block, n_blocks=nb, debug=debug
+            _fused_list_kernel, tri_block=tri_block, debug=debug
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -386,7 +361,7 @@ def nearest_hit_fused(
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(block_list, block_aabb, margin.reshape(1), w, fused_ops)
+    )(lens, block_list, w, fused_ops)
     return t_out[:, 0], idx_out[:, 0]
 
 
