@@ -221,7 +221,7 @@ def bake_world_triangles(
         [cl_min.T, cl_max.T, jnp.zeros((2, cl_min.shape[0]), jnp.float32)], axis=0
     )  # (8, T/128)
 
-    fused_ops = block_aabb = attr_cols = None
+    fused_ops = block_aabb = attr_rows = None
     if fused_tile is not None:
         nb = t_pad // fused_tile
         # fused (16, 4*T) pack: per block, columns [ab | bc | ca | plane];
@@ -267,25 +267,28 @@ def bake_world_triangles(
         # so the real blocks are exactly the leading ceil(n_valid / TB).
         nb_real = -(-n_world_valid // fused_tile)
         block_aabb = block_aabb[:nb_real]
-        # per-triangle shading attributes as (T, 16) columns, for the
-        # megakernel's in-kernel argmin select — ONE (R, TB) @ (TB, 16)
-        # HIGHEST-precision matmul per improving visit instead of 7+ VPU
-        # masked reductions: [shade_n(0:3), mat_type(3), rgb(4:7),
-        # geom_n(7:10), idx+1(10), 0(11:16)].  Column 10 carries the global
-        # triangle index + 1 (exact in f32 for any pack-sized scene) — the
-        # frozen-topology output of the differentiable replay (diff/fast.py)
+        # per-triangle shading attribute rows (16, T) for the megakernel's
+        # in-kernel argmin select — ONE lane-contracted
+        # ``dot_general(onehot (R, TB), slab (16, TB))`` HIGHEST-precision
+        # MXU matmul per visit instead of 7+ VPU masked reductions.  Rows:
+        # [shade_n(0:3), mat_type(3), rgb(4:7), geom_n(7:10), idx+1(10),
+        # 0(11:16)].  Row 10 carries the global triangle index + 1 (exact
+        # in f32 for any pack-sized scene) — the frozen-topology output the
+        # differentiable replay consumes (diff/fast.py).  Row-major (16, T)
+        # rather than (T, 16): the per-visit slab slice is then on the LANE
+        # dimension, which Mosaic supports with DYNAMIC (worklist) starts.
         geom_n = normalize(n, eps=1e-30)
-        attr_cols = jnp.concatenate(
+        attr_rows = jnp.concatenate(
             [
-                padt(shade_n),
-                padt(mat_type.astype(jnp.float32))[:, None],
-                padt(mat_color),
-                padt(geom_n),
-                (jnp.arange(t_pad, dtype=jnp.float32) + 1.0)[:, None],
-                jnp.zeros((t_pad, 5), jnp.float32),
+                padt(shade_n).T,
+                padt(mat_type.astype(jnp.float32))[None, :],
+                padt(mat_color).T,
+                padt(geom_n).T,
+                (jnp.arange(t_pad, dtype=jnp.float32) + 1.0)[None, :],
+                jnp.zeros((5, t_pad), jnp.float32),
             ],
-            axis=1,
-        )  # (T, 16)
+            axis=0,
+        )  # (16, T)
 
     return WorldTriangles(
         edge_pluecker=edge_pluecker,
@@ -303,7 +306,7 @@ def bake_world_triangles(
         e2=padt(c - a),
         fused_ops=fused_ops,
         block_aabb=block_aabb,
-        attr_cols=attr_cols,
+        attr_rows=attr_rows,
         tri_block=fused_tile or 0,
         n_valid=n_world_valid,
     )

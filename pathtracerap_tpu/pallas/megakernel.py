@@ -257,13 +257,13 @@ def _trace_inkernel(
       future bounce positions at trace time): sweep ALL real blocks in
       ascending index order unconditionally.  ``PTAP_BLOCK_SKIP=1``
       restores the per-visit AABB+distance ``lax.cond`` gates for A/B.
-    * ``worklist=(nv, list_at)`` (the per-bounce binned engine, whose
+    * ``worklist=(width, list_at)`` (the per-bounce binned engine, whose
       wavefront lives in HBM between bounces): visit exactly the blocks an
-      XLA-level slab pass selected, via a dynamic-trip-count ``fori_loop``
-      — empty (dead/fully-culled) tiles cost zero visits.
+      XLA-level slab pass selected (-1-padded list, scalar ``blk >= 0``
+      gate) — dead/fully-culled tiles skip every visit body.
 
     The winning triangle's 16 attribute columns (shade normal, material,
-    color, geometric normal, idx+1 — see ``WorldTriangles.attr_cols``) are
+    color, geometric normal, idx+1 — see ``WorldTriangles.attr_rows``) are
     selected by contracting the argmin one-hot against the block's
     (TB, 16) attr slab in one HIGHEST-precision MXU matmul.  ``idx + 1``
     (0 = miss) is the frozen hit topology the differentiable replay
@@ -340,14 +340,16 @@ def _trace_inkernel(
                 & (new_idx1 < attrs[:, 10:11])
             )
 
-        arows = pl.ds(pl.multiple_of(blk * tri_block, tri_block), tri_block)
-        slab = attr_ref[arows, :]  # (TB, 16)
+        acols = pl.ds(pl.multiple_of(blk * tri_block, tri_block), tri_block)
+        slab = attr_ref[:, acols]  # (16, TB) — lane-dim slice: dynamic-safe
         onehot = (col_iota == local_arg).astype(jnp.float32)  # (R, TB)
         # HIGHEST so attribute values pass through exactly (the one-hot
         # contraction sums a single f32 term per output; bf16 passes would
-        # corrupt mat_type/idx)
-        new_attrs = jnp.dot(
-            onehot, slab, preferred_element_type=jnp.float32,
+        # corrupt mat_type/idx); lane-contracted dot_general == onehot @ slab.T
+        new_attrs = jax.lax.dot_general(
+            onehot, slab,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (R, 16)
         return (
@@ -376,10 +378,18 @@ def _trace_inkernel(
     init = (jnp.full((r, 1), F_MAX, jnp.float32),
             jnp.zeros((r, 16), jnp.float32))
     if worklist is not None:
-        nv, list_at = worklist
-        best_t, attrs = jax.lax.fori_loop(
-            0, nv, lambda j, c: visit_block(list_at(j), c), init
-        )
+        # static loop bound + scalar SMEM `blk >= 0` gate: Mosaic rejects
+        # dynamic trip counts here ("Not implemented: Lane broadcast"),
+        # and a scalar-predicate cond costs no vector->scalar sync
+        nb_w, list_at = worklist
+
+        def visit_listed(j, c):
+            blk = list_at(j)
+            return jax.lax.cond(
+                blk >= 0, lambda cc: visit_block(blk, cc), lambda cc: cc, c
+            )
+
+        best_t, attrs = jax.lax.fori_loop(0, nb_w, visit_listed, init)
     else:
         # unroll small block counts: straight-line code lets Mosaic
         # schedule across visits without loop-carried bookkeeping
@@ -390,7 +400,7 @@ def _trace_inkernel(
             init,
             unroll=n_blocks <= 8,
         )
-    # [shade_n, mat_type, rgb, geom_n, idx+1] — see WorldTriangles.attr_cols
+    # [shade_n, mat_type, rgb, geom_n, idx+1] — see WorldTriangles.attr_rows
     return (best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7],
             attrs[:, 7:10], attrs[:, 10:11])
 
@@ -486,7 +496,7 @@ def _sample_pallas_call(
             pl.BlockSpec((ray_tile, 12), lambda i, A, M: (i, 0)),
             pl.BlockSpec((ray_tile, ucols), lambda i, A, M: (i, 0)),
             pl.BlockSpec((16, world.fused_ops.shape[1]), lambda i, A, M: (0, 0)),
-            pl.BlockSpec((world.attr_cols.shape[0], 16), lambda i, A, M: (0, 0)),
+            pl.BlockSpec((16, world.attr_rows.shape[1]), lambda i, A, M: (0, 0)),
         ],
         out_specs=out_specs,
     )
@@ -514,7 +524,7 @@ def _sample_pallas_call(
         interpret=_interpret(),
     )(
         world.block_aabb, margin.reshape(1),
-        w16, prim, uniforms, world.fused_ops, world.attr_cols,
+        w16, prim, uniforms, world.fused_ops, world.attr_rows,
     )
     if emit_idx:
         return outs[0][:, 0:3], outs[1]
@@ -680,29 +690,30 @@ def _bounce_kernel(
     st_ref,  # (R, 16) [orig(0:3), dir(3:6), color(6:9), remaining(9), 0...]
     u_ref,  # (R, 4)
     ops_ref,  # (16, 4*T)
-    attr_ref,  # (T, 16)
+    attr_ref,  # (16, T)
     out_ref,  # (R, 16)
     *,
     tri_block: int,
     parity: bool,
     debug: bool = False,
 ):
-    """One binned wavefront bounce: branch-free worklist trace + shade.
+    """One binned wavefront bounce: worklist trace + shade.
 
     The visit set comes entirely from the XLA-level slab pass
     (``trace._tile_block_lists`` on the sorted wavefront) — the kernel
-    runs exactly ``len_ref[i]`` visits with zero vector->scalar syncs;
-    dead/fully-culled tiles run none.
+    gates each entry on a scalar SMEM ``blk >= 0`` test (no
+    vector->scalar syncs); dead/fully-culled tiles run no visit bodies.
     """
     i = pl.program_id(0)
     orig = st_ref[:, 0:3]
     dirn = st_ref[:, 3:6]
     color = st_ref[:, 6:9]
     remaining = st_ref[:, 9:10]
+    del len_ref  # list is -1-padded; the scalar gate reads list_ref only
     t, n, mt, mc, gn, _ = _trace_inkernel(
         orig, dirn, remaining, None, 0.0, ops_ref, attr_ref,
         tri_block, 0, debug=debug,
-        worklist=(len_ref[i], lambda j: list_ref[i, j]),
+        worklist=(list_ref.shape[1], lambda j: list_ref[i, j]),
     )
     orig, dirn, color, remaining = _shade_inkernel(
         orig, dirn, color, remaining, t, n, mt, mc, gn, u_ref[:], parity
@@ -737,7 +748,7 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
             pl.BlockSpec((ray_tile, 16), lambda i, L, W: (i, 0)),
             pl.BlockSpec((ray_tile, 4), lambda i, L, W: (i, 0)),
             pl.BlockSpec((16, world.fused_ops.shape[1]), lambda i, L, W: (0, 0)),
-            pl.BlockSpec((world.attr_cols.shape[0], 16), lambda i, L, W: (0, 0)),
+            pl.BlockSpec((16, world.attr_rows.shape[1]), lambda i, L, W: (0, 0)),
         ],
         out_specs=[pl.BlockSpec((ray_tile, 16), lambda i, L, W: (i, 0))],
     )
@@ -749,7 +760,7 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
         out_shape=[jax.ShapeDtypeStruct((n, 16), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(lens, block_list, pack, u, world.fused_ops, world.attr_cols)
+    )(lens, block_list, pack, u, world.fused_ops, world.attr_rows)
     return out
 
 

@@ -194,15 +194,21 @@ def _fused_list_kernel(
     scalar-branch pipeline sync per visit — measured to cost as much as
     the compute it can skip at this block size.  Here the per-tile visit
     set is decided entirely OUTSIDE the kernel (XLA slab tests,
-    ``_tile_block_lists``) and the kernel just runs a dynamic-trip-count
-    ``fori_loop`` over exactly the listed blocks: branch-free visits,
-    empty tiles cost nothing.
+    ``_tile_block_lists``); the in-kernel gate is a SCALAR ``blk >= 0``
+    SMEM test (Mosaic rejects dynamic trip counts in this loop shape with
+    "Not implemented: Lane broadcast", so the loop bound stays static).
     """
     i = pl.program_id(0)
+    del len_ref  # scalar-prefetched alongside list_ref; kept for layout
 
     def visit(j, carry):
-        best_t, best_idx = carry
         blk = list_ref[i, j]
+        return jax.lax.cond(
+            blk >= 0, lambda c: body(blk, c), lambda c: c, carry
+        )
+
+    def body(blk, carry):
+        best_t, best_idx = carry
         cols = pl.ds(pl.multiple_of(blk * (4 * tri_block), 4 * tri_block), 4 * tri_block)
         s = jnp.dot(
             w_ref[:],
@@ -259,9 +265,10 @@ def _fused_list_kernel(
         )
 
     n = w_ref.shape[0]
+    nb = list_ref.shape[1]
     best_t, best_idx = jax.lax.fori_loop(
         0,
-        len_ref[i],
+        nb,
         visit,
         (jnp.full((n, 1), F_MAX, jnp.float32), jnp.full((n, 1), -1, jnp.int32)),
     )

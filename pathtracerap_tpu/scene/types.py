@@ -235,13 +235,13 @@ class WorldTriangles:
     # [0(0:6), -n(6:9), -d_plane(9), 0...] so the product is t*det directly.
     fused_ops: jax.Array | None = None  # (16, 4*T) f32
     block_aabb: jax.Array | None = None  # (nb, 8) f32 [min xyz, max xyz, 0, 0]
-    # Per-triangle shading attribute columns for in-kernel hit-attribute
+    # Per-triangle shading attribute rows for in-kernel hit-attribute
     # selection (megakernel): [shade_n(0:3), mat_type(3), rgb(4:7),
-    # geom_n(7:10), idx+1(10), 0(11:16)] per row.  Consumed as (TB, 16)
+    # geom_n(7:10), idx+1(10), 0(11:16)].  Consumed as (16, TB) lane-dim
     # slabs contracted against the per-visit argmin one-hot in ONE
-    # HIGHEST-precision MXU matmul — the TPU replacement for the
-    # reference's per-thread struct reads at Renderer.cpp:393-398.
-    attr_cols: jax.Array | None = None  # (T, 16) f32
+    # HIGHEST-precision lane-contracted MXU matmul — the TPU replacement
+    # for the reference's per-thread struct reads at Renderer.cpp:393-398.
+    attr_rows: jax.Array | None = None  # (16, T) f32
     # Static block geometry.  ``block_aabb`` holds ONLY blocks containing
     # real triangles: a pure-padding block's "inverted" AABB is NOT
     # unhittable under the min/max-swapped slab test (the swap turns it
