@@ -326,20 +326,6 @@ def _trace_inkernel(
         blk_min = jnp.min(t_m, axis=1, keepdims=True)
         local_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None]
 
-        # lexicographic (t, idx) tie-break, matching the other engines.
-        # In ascending-block order the strict < suffices; worklist mode
-        # visits blocks tmin-sorted (out of index order), so exact-t ties
-        # across blocks (shared mesh edges) need the explicit index compare
-        # against the running winner's idx+1 column.
-        improve = blk_min < best_t
-        if worklist is not None:
-            new_idx1 = (blk * tri_block + local_arg + 1).astype(jnp.float32)
-            improve = improve | (
-                (blk_min == best_t)
-                & (blk_min < F_MAX)
-                & (new_idx1 < attrs[:, 10:11])
-            )
-
         acols = pl.ds(pl.multiple_of(blk * tri_block, tri_block), tri_block)
         slab = attr_ref[:, acols]  # (16, TB) — lane-dim slice: dynamic-safe
         onehot = (col_iota == local_arg).astype(jnp.float32)  # (R, TB)
@@ -352,6 +338,21 @@ def _trace_inkernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (R, 16)
+
+        # lexicographic (t, idx) tie-break, matching the other engines.
+        # In ascending-block order the strict < suffices; worklist mode
+        # visits blocks tmin-sorted (out of index order), so exact-t ties
+        # across blocks (shared mesh edges) need the explicit index compare.
+        # Both idx+1 values come from attr row 10 via the select matmul —
+        # deriving the candidate from ``blk * TB + local_arg`` instead hits
+        # Mosaic "Not implemented: Lane broadcast" on the argmin layout.
+        improve = blk_min < best_t
+        if worklist is not None:
+            improve = improve | (
+                (blk_min == best_t)
+                & (blk_min < F_MAX)
+                & (new_attrs[:, 10:11] < attrs[:, 10:11])
+            )
         return (
             jnp.where(improve, blk_min, best_t),
             jnp.where(improve, new_attrs, attrs),
