@@ -76,7 +76,7 @@ def main() -> None:
 
     from pathtracerap_tpu.diff.grad import extract_params, make_train_step
 
-    bwd_spp = 2
+    bwd_spp = 8  # amortize the fixed per-dispatch cost like the forward run
     step = make_train_step(
         scene, cfg.camera, resolution, bwd_spp, max_bounces, tile_size=8192,
         engine="fused",
