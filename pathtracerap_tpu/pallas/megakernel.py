@@ -278,7 +278,12 @@ def _trace_inkernel(
          jnp.zeros((r, 5), jnp.float32)],
         axis=1,
     )
-    gated = BLOCK_SKIP and worklist is None
+    # Gate choice is block-count dependent: at reference-scene counts
+    # (nb <= 8) the per-visit cond sync costs as much as the compute it
+    # skips, so the unconditional sweep wins; at larger packs (up to 64
+    # blocks after the 32k-triangle limit) most blocks are skippable and
+    # the gates pay for themselves.
+    gated = worklist is None and (BLOCK_SKIP or n_blocks > 8)
     if gated:
         small = jnp.abs(d_n) < 1e-12
         inv_d = 1.0 / jnp.where(small, jnp.where(d_n < 0.0, -1e-12, 1e-12), d_n)
