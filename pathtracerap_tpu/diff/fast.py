@@ -162,6 +162,25 @@ def render_samples_fused_diff(
         axis=1,
     )
 
+    # The replay is rematerialized in the backward pass: without
+    # jax.checkpoint, differentiating the sample loop stacks every bounce's
+    # shade intermediates for every sample (~43 GB HBM at 800k rays x 8
+    # samples).  Checkpointing saves only (idxs, u) per sample (~90 MB) and
+    # recomputes the cheap gather+elementwise replay when needed; the
+    # megakernel itself is NOT re-run — its output is an input here.
+    @jax.checkpoint
+    def replay(world_c, idxs, u):
+        state = RayState.primary(ro_p, rd_p, max_bounces)
+        for b in range(max_bounces):
+            ib = idxs[:, b].astype(jnp.int32)
+            hit = ib > 0
+            rec = hit_from_index(
+                world_c, state.orig, normalize(state.dir),
+                jnp.maximum(ib - 1, 0), hit,
+            )
+            state = shade(state, rec, u[:, 4 * b : 4 * b + 4], parity=parity)
+        return gather_contribution(state)
+
     def body(i, acc):
         s = sample_offset + i
         u = chunk_uniforms(key, s, max_bounces, n, n_pad, tile_base)
@@ -170,18 +189,7 @@ def render_samples_fused_diff(
             max_bounces, parity, use_primary=True, emit_idx=True,
         )
         idxs = jax.lax.stop_gradient(idxs)
-
-        # differentiable replay at the frozen per-bounce topology
-        state = RayState.primary(ro_p, rd_p, max_bounces)
-        for b in range(max_bounces):
-            ib = idxs[:, b].astype(jnp.int32)
-            hit = ib > 0
-            rec = hit_from_index(
-                world, state.orig, normalize(state.dir),
-                jnp.maximum(ib - 1, 0), hit,
-            )
-            state = shade(state, rec, u[:, 4 * b : 4 * b + 4], parity=parity)
-        return acc + gather_contribution(state)
+        return acc + replay(world, idxs, u)
 
     acc = jax.lax.fori_loop(
         0, n_samples, body, jnp.zeros((n_pad, 3), jnp.float32)
