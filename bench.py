@@ -76,7 +76,9 @@ def main() -> None:
 
     from pathtracerap_tpu.diff.grad import extract_params, make_train_step
 
-    bwd_spp = 8  # amortize the fixed per-dispatch cost like the forward run
+    # 2 samples: the backward sweep is mat_color scatter-add dominated per
+    # sample, so larger spp does not amortize (measured 5.72 @ 2 vs 5.46 @ 8)
+    bwd_spp = 2
     step = make_train_step(
         scene, cfg.camera, resolution, bwd_spp, max_bounces, tile_size=8192,
         engine="fused",
