@@ -123,14 +123,11 @@ def run_config(name: str, engine: str = "fused", repeats: int = 2) -> dict:
                                          "samples_per_pixel": spp,
                                          "samples_per_chunk": spp})
     r = Renderer(scene, cfg)
-    # report the engine that actually runs: scenes above the VMEM-resident
-    # pack limit silently fall back from the megakernels to the blocked-DMA
-    # pallas path (render_accumulate's world.fused_ops gate)
-    actual_engine = cfg.engine
-    if cfg.engine in ("fused", "binned") and (
-        r.world is None or r.world.fused_ops is None
-    ):
-        actual_engine = "pallas"
+    # report the engine that actually runs (pack-limit fallback, many-block
+    # fused->binned switch — render/wavefront.effective_engine)
+    from .render.wavefront import effective_engine
+
+    actual_engine = effective_engine(cfg.engine, r.world, cfg.camera.jitter)
     img = np.asarray(r.render())
     best = float("inf")
     for _ in range(repeats):

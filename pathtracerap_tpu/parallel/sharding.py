@@ -64,17 +64,9 @@ def render_accumulate_dp(
     mode).  RNG tile indices are globally unique: device d's tiles start at
     ``d * tiles_per_device``.
     """
-    n_dev = mesh.devices.size
-    use_mega = (
-        engine in ("fused", "binned")
-        and world is not None
-        and world.fused_ops is not None
-    )
-    if engine in ("fused", "binned") and not use_mega:
-        # scene too large for the VMEM-resident operand pack: the blocked-DMA
-        # per-bounce pallas engine is the fallback, same as render_accumulate
-        engine = "pallas"
+    from ..render.wavefront import effective_engine
 
+    n_dev = mesh.devices.size
     # quality-mode AA camera (same rule as render_accumulate)
     jitter_step = None
     if camera.jitter:
@@ -83,8 +75,8 @@ def render_accumulate_dp(
             (camera.plane_x[1] - camera.plane_x[0]) / w_res,
             (camera.plane_y[1] - camera.plane_y[0]) / h_res,
         )
-    if engine == "binned" and jitter_step is not None:
-        engine = "fused"  # binning needs the deterministic primary-hit cache
+    engine = effective_engine(engine, world, jitter_step is not None)
+    use_mega = engine in ("fused", "binned")
 
     ro, rd = generate_rays(camera, resolution)
     n = ro.shape[0]

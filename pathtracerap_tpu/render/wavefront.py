@@ -36,6 +36,30 @@ from .shade import RayState, gather_contribution, shade
 DEFAULT_TILE = 8192
 
 
+def effective_engine(engine: str, world, jitter: bool) -> str:
+    """Resolve the megakernel engine choice against the baked world.
+
+    * no fused pack (scene above the VMEM limit) -> per-bounce blocked-DMA
+      ``pallas`` engine;
+    * ``binned`` with the jittered quality camera -> ``fused`` (binning
+      relies on the deterministic primary-hit cache);
+    * ``fused`` on a many-block scene -> ``binned``: the whole-sample
+      megakernel sweeps every block per bounce (branch-free by design,
+      docs/PERF_NOTES.md finding 2), which is right at reference-scene
+      block counts but loses badly at 100+ blocks, where the per-bounce
+      worklist engine visits only the reachable few.
+    """
+    if engine not in ("fused", "binned"):
+        return engine
+    if world is None or world.fused_ops is None:
+        return "pallas"
+    if engine == "binned" and jitter:
+        return "fused"
+    if engine == "fused" and not jitter and world.block_aabb.shape[0] > 32:
+        return "binned"
+    return engine
+
+
 def _make_tracer(scene: SceneDevice, engine: str, world=None):
     """Tracers take (ro, rd, alive=None); engines that can exploit lane
     liveness (pallas block skipping) use it, the rest ignore it."""
@@ -241,13 +265,7 @@ def render_accumulate(
 
         if world is None:
             world = bake_world_triangles(scene)
-        if world.fused_ops is None:
-            # scene too large for the VMEM-resident operand pack — fall
-            # back to the per-bounce blocked-DMA pallas engine
-            engine = "pallas"
-        elif engine == "binned" and jitter_step is not None:
-            # binning relies on the primary-hit cache (parity camera)
-            engine = "fused"
+        engine = effective_engine(engine, world, jitter_step is not None)
     if engine == "binned":
         slab = 64 * 8192
         parts = []
