@@ -167,11 +167,12 @@ def bake_world_triangles(
     n_world_valid = int(scene.n_world_valid) or tw
     # The fused operand pack is held whole in VMEM by the worklist kernel
     # and the megakernel: (16, 4T) f32 = 256 bytes/triangle, so 131k
-    # triangles cost ~34 MB — alongside the attr rows (~8 MB) and the
-    # (R, 4*TB) compute transients this still fits the 100 MB scoped-VMEM
-    # budget (v5e has 128 MB physical).  Beyond that, big scenes fall back
-    # to the dense blocked-DMA kernel (fused_ops=None path).
-    if fused_tile is not None and tw > 131072:
+    # triangles cost ~34 MB — alongside the attr rows and the (R, 4*TB)
+    # compute transients the pack fits the 100 MB scoped-VMEM budget up to
+    # ~160k triangles (42 MB pack + 10 MB attrs; v5e has 128 MB physical).
+    # Beyond that, big scenes fall back to the dense blocked-DMA kernel
+    # (fused_ops=None path).
+    if fused_tile is not None and tw > 160256:
         fused_tile = None
     if fused_tile is not None:
         assert fused_tile % pad_to == 0, (fused_tile, pad_to)
