@@ -47,7 +47,9 @@ def effective_engine(engine: str, world, jitter: bool) -> str:
       megakernel sweeps every block per bounce (branch-free by design,
       docs/PERF_NOTES.md finding 2), which is right at reference-scene
       block counts but loses badly at 100+ blocks, where the per-bounce
-      worklist engine visits only the reachable few.
+      worklist engine visits only the reachable few.  Measured crossover
+      (v5e): fused wins at 38 blocks (9.8 vs 7.8 Mrays/s, multimesh),
+      binned wins at 287 (3.0 vs 0.5, highpoly) — switch at 64.
     """
     if engine not in ("fused", "binned"):
         return engine
@@ -55,7 +57,7 @@ def effective_engine(engine: str, world, jitter: bool) -> str:
         return "pallas"
     if engine == "binned" and jitter:
         return "fused"
-    if engine == "fused" and not jitter and world.block_aabb.shape[0] > 32:
+    if engine == "fused" and not jitter and world.block_aabb.shape[0] > 64:
         return "binned"
     return engine
 
