@@ -31,20 +31,36 @@ def test_multimesh_scene_renders():
     assert np.all(np.isfinite(img)) and img.max() > 0.01
 
 
-def test_highpoly_scene_falls_back_to_dense_kernel():
+def test_engine_routing_by_scene_size():
+    """effective_engine: many-block scenes route fused->binned (measured
+    crossover at 64 blocks); scenes above the ~160k-triangle VMEM pack
+    limit fall back to the dense blocked-DMA pallas path."""
     import jax
 
     from pathtracerap_tpu.ops.plucker import bake_world_triangles
+    from pathtracerap_tpu.render.wavefront import effective_engine
 
-    scene = build_highpoly_scene(subdiv=128)  # ~33k tris > 16384 VMEM limit
+    scene = build_highpoly_scene(subdiv=128)  # ~66k tris: packed, 129+ blocks
     dev = scene.to_device()
     world = jax.jit(bake_world_triangles)(dev)
-    assert world.fused_ops is None  # blocked-DMA dense path
+    assert world.fused_ops is not None
+    assert world.block_aabb.shape[0] > 64
+    assert effective_engine("fused", world, jitter=False) == "binned"
+    assert effective_engine("fused", world, jitter=True) == "fused"
+
+    scene2 = build_highpoly_scene(subdiv=224)  # ~200k tris > 160k pack limit
+    world2 = jax.jit(bake_world_triangles)(scene2.to_device())
+    assert world2.fused_ops is None
+    assert effective_engine("fused", world2, jitter=False) == "pallas"
+
+
+def test_highpoly_regime_renders_on_binned_worklists():
+    scene = build_highpoly_scene(subdiv=128)
     img = np.asarray(
         Renderer(
-            dev,
+            scene.to_device(),
             RenderConfig(resolution=(24, 16), samples_per_pixel=1, max_bounces=2,
-                         camera=_ROOM_CAMERA, engine="fused"),  # falls back
+                         camera=_ROOM_CAMERA, engine="fused"),  # routes to binned
         ).render()
     )
     assert np.all(np.isfinite(img)) and img.max() > 0.01
