@@ -53,11 +53,27 @@ def hit_from_index(
     qvec = jnp.cross(tvec, e1)
     t = jnp.sum(e2 * qvec, axis=-1) / safe
 
+    if world.mat_table is not None:
+        # material color via one-hot matmul over the model slots: the VJP
+        # is ``one_hot.T @ g`` — one MXU matmul per bounce — instead of a
+        # serialized per-ray scatter-add into the (T, 3) table (the r3
+        # fwd+bwd bottleneck; VERDICT r3 task 3).  Forward-identical:
+        # world.mat_color == mat_table[tri_model] by construction.
+        slot = jax.lax.stop_gradient(world.tri_model[idx])
+        onehot = jax.nn.one_hot(
+            slot, world.mat_table.shape[0], dtype=jnp.float32
+        )
+        mat_color = jnp.dot(
+            onehot, world.mat_table, preferred_element_type=jnp.float32
+        )
+    else:
+        mat_color = world.mat_color[idx]
+
     return HitRecord(
         t=jnp.where(hit, t, F_MAX),
         normal=jnp.where(hit[:, None], world.shade_normal[idx], 0.0),
         mat_type=jnp.where(hit, world.mat_type[idx], 0),
-        mat_color=jnp.where(hit[:, None], world.mat_color[idx], 0.0),
+        mat_color=jnp.where(hit[:, None], mat_color, 0.0),
         # geometric normal straight from positions — the quality-mode
         # cosine factor's vertex-gradient carrier (render/shade.py)
         geom_normal=jnp.where(

@@ -76,7 +76,15 @@ def render_for_params(
     (render/shade.py)."""
     s = apply_params(scene, params)
     world = bake_world_triangles(s)
-    if engine == "fused" and world.fused_ops is not None:
+    if engine == "fused" and world.fused_ops is None:
+        # mirror render/wavefront.effective_engine: scenes above the
+        # VMEM-resident pack limit have no fused pack — downgrade to the
+        # per-bounce Pallas diff tracer instead of falling through to the
+        # engine dispatch below (which knows no "fused") and crashing.
+        # make_sharded_train_step routes through here too, so the sharded
+        # path inherits the same fallback.
+        engine = "pallas"
+    if engine == "fused":
         # whole-sample megakernel forward + frozen-topology XLA replay
         # backward (diff/fast.py); RNG tiling is the megakernel's own
         # 8192-row chunk stream, with ``tile_base`` in those units (callers

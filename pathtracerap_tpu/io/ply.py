@@ -100,32 +100,85 @@ def _read_vertices_binary(f, el, endian):
     return rows, names
 
 
-def _read_faces_ascii(f, el):
-    tris = []
-    for _ in range(el["count"]):
-        tok = f.readline().split()
-        k = int(tok[0])
-        idx = [int(x) for x in tok[1 : 1 + k]]
-        for j in range(1, k - 1):  # fan triangulation
-            tris.append((idx[0], idx[j], idx[j + 1]))
-    return tris
-
-
-def _read_faces_binary(f, el, endian):
+def _check_face_props(el):
+    """The face element must carry exactly one property: the
+    ``vertex_indices`` list.  Both readers validate identically — a
+    header-legal scalar property before the list would otherwise be
+    silently misparsed into garbage indices by the ascii path (ADVICE r3)."""
     lp = [p for p in el["props"] if p[1] == "list"]
     if len(lp) != 1 or lp[0][0] not in ("vertex_indices", "vertex_index"):
         raise PlyParseError("face element needs a vertex_indices list property")
-    ct = np.dtype(endian + lp[0][2])
-    it = np.dtype(endian + lp[0][3])
     if len(el["props"]) != 1:
-        raise PlyParseError("extra face properties unsupported in binary PLY")
+        raise PlyParseError("extra face properties unsupported")
+    return lp[0]
+
+
+def _fan_triangulate(counts, flat_idx):
+    """Fan-triangulate variable-count faces given per-face vertex counts and
+    the flattened index stream; vectorized for the all-triangles case."""
+    counts = np.asarray(counts, dtype=np.int64)
+    flat_idx = np.asarray(flat_idx, dtype=np.int64)
+    if counts.size == 0:
+        return []
+    if np.all(counts == 3):
+        return flat_idx.reshape(-1, 3)
     tris = []
-    for _ in range(el["count"]):
-        k = int(np.frombuffer(f.read(ct.itemsize), dtype=ct)[0])
-        idx = np.frombuffer(f.read(it.itemsize * k), dtype=it).astype(np.int64)
+    off = 0
+    for k in counts:
+        idx = flat_idx[off : off + k]
+        off += k
         for j in range(1, k - 1):
             tris.append((idx[0], idx[j], idx[j + 1]))
     return tris
+
+
+def _read_faces_ascii(f, el):
+    _check_face_props(el)
+    counts, flat = [], []
+    for _ in range(el["count"]):
+        tok = f.readline().split()
+        k = int(tok[0])
+        counts.append(k)
+        flat.extend(int(x) for x in tok[1 : 1 + k])
+    return _fan_triangulate(counts, flat)
+
+
+def _read_faces_binary(f, el, endian):
+    lp = _check_face_props(el)
+    ct = np.dtype(endian + lp[2])
+    it = np.dtype(endian + lp[3])
+    # Read the whole face block at once and fast-path the (overwhelmingly
+    # common for Stanford scans) all-triangles case with one frombuffer +
+    # reshape — the per-face f.read loop was minutes of pure Python at the
+    # ~1M-face sizes this loader exists for (ADVICE r3).
+    buf = f.read()
+    stride = ct.itemsize + 3 * it.itemsize
+    n = el["count"]
+    if len(buf) >= n * stride:
+        head = np.frombuffer(buf, dtype=np.uint8, count=n * stride)
+        rows = head.reshape(n, stride)
+        counts = rows[:, : ct.itemsize].copy().view(ct)[:, 0]
+        if np.all(counts == 3):
+            idx = (
+                rows[:, ct.itemsize :].copy().view(it).astype(np.int64)
+            )  # (n, 3)
+            # un-consumed tail (trailing elements) must stay readable
+            f.seek(-(len(buf) - n * stride), 1) if len(buf) > n * stride else None
+            return idx
+    # variable counts: per-face walk over the in-memory buffer
+    counts, flat = [], []
+    off = 0
+    for _ in range(n):
+        k = int(np.frombuffer(buf, dtype=ct, count=1, offset=off)[0])
+        off += ct.itemsize
+        counts.append(k)
+        flat.append(
+            np.frombuffer(buf, dtype=it, count=k, offset=off).astype(np.int64)
+        )
+        off += it.itemsize * k
+    if len(buf) > off:
+        f.seek(-(len(buf) - off), 1)
+    return _fan_triangulate(counts, np.concatenate(flat) if flat else [])
 
 
 def load_ply(path: str, scale: float = constants.BASE_MODEL_SCALE) -> ObjMesh:

@@ -64,7 +64,8 @@ def _morton3(p: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
 
 
 def bake_world_triangles(
-    scene: SceneDevice, pad_to: int = 128, fused_tile: int | None = 512
+    scene: SceneDevice, pad_to: int = 128, fused_tile: int | None = 512,
+    ring_shards: int | None = None,
 ) -> WorldTriangles:
     """Bake all model instances into a world-space triangle soup.
 
@@ -80,8 +81,15 @@ def bake_world_triangles(
 
     ``fused_tile`` additionally emits the fused (16, 4*T) operand pack +
     per-block AABBs for the worklist pallas kernel (see
-    ``WorldTriangles.fused_ops``); ``None`` skips them (geometry-sharded
-    path, which slices the dense packs).
+    ``WorldTriangles.fused_ops``); ``None`` skips them.
+
+    ``ring_shards=D`` bakes for the geometry-sharded ring (parallel/
+    geometry.py): the triangle axis is padded to ``D * fused_tile`` so the
+    fused pack splits into D equal contiguous block groups, and
+    ``block_aabb`` keeps its padding blocks as NaN rows (every slab/frustum
+    comparison with NaN is false, so worklist builders can never select
+    them) instead of truncating — truncation would break the equal-shard
+    layout.
     """
     src = scene.world_tri_src
     mdl = scene.world_tri_model
@@ -125,6 +133,7 @@ def bake_world_triangles(
 
     mat_type = scene.mat_type[mdl]
     mat_color = scene.mat_color[mdl]
+    tri_model = mdl
 
     # Sort world triangles into (fat | small-by-Morton | padding) order:
     #
@@ -155,10 +164,10 @@ def bake_world_triangles(
     perm = jnp.argsort(code, stable=True)
     perm = perm[jnp.argsort(klass[perm], stable=True)]
     (a, b, c, e_ab, e_bc, e_ca, n, d_plane, shade_n, mat_type, mat_color,
-     src_valid) = (
+     src_valid, tri_model) = (
         x[perm]
         for x in (a, b, c, e_ab, e_bc, e_ca, n, d_plane, shade_n, mat_type,
-                  mat_color, src_valid)
+                  mat_color, src_valid, tri_model)
     )
 
     tw = a.shape[0]
@@ -172,11 +181,11 @@ def bake_world_triangles(
     # ~160k triangles (42 MB pack + 10 MB attrs; v5e has 128 MB physical).
     # Beyond that, big scenes fall back to the dense blocked-DMA kernel
     # (fused_ops=None path).
-    if fused_tile is not None and tw > 160256:
+    if fused_tile is not None and tw > 160256 and ring_shards is None:
         fused_tile = None
     if fused_tile is not None:
         assert fused_tile % pad_to == 0, (fused_tile, pad_to)
-        pad_to = fused_tile
+        pad_to = fused_tile * (ring_shards or 1)
     t_pad = _round_up(tw, pad_to)
     pad = t_pad - tw
 
@@ -269,7 +278,15 @@ def bake_world_triangles(
         # triangles come first in the soup (fat | Morton | padding order),
         # so the real blocks are exactly the leading ceil(n_valid / TB).
         nb_real = -(-n_world_valid // fused_tile)
-        block_aabb = block_aabb[:nb_real]
+        if ring_shards is None:
+            block_aabb = block_aabb[:nb_real]
+        else:
+            # equal-shard layout: keep all nb rows, neutralize the
+            # pure-padding ones with NaN (slab/frustum tests with NaN are
+            # false, so no worklist ever selects them — unlike the inverted
+            # AABB, which the min/max-swapped slab test always hits)
+            row = jax.lax.broadcasted_iota(jnp.int32, block_aabb.shape, 0)
+            block_aabb = jnp.where(row < nb_real, block_aabb, jnp.nan)
         # per-triangle shading attribute rows (16, T) for the megakernel's
         # in-kernel argmin select — ONE lane-contracted
         # ``dot_general(onehot (R, TB), slab (16, TB))`` HIGHEST-precision
@@ -312,6 +329,8 @@ def bake_world_triangles(
         attr_rows=attr_rows,
         tri_block=fused_tile or 0,
         n_valid=n_world_valid,
+        tri_model=padt(tri_model).astype(jnp.int32),
+        mat_table=scene.mat_color,
     )
 
 

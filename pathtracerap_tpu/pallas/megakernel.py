@@ -78,6 +78,13 @@ PRECISION_MODE = _os.environ.get("PTAP_MM_PRECISION", "bf16x3")
 # compute the gate skips at reference-scene block counts.
 BLOCK_SKIP = _os.environ.get("PTAP_BLOCK_SKIP", "0") == "1"
 
+# Gate the per-visit argmin + attribute-select (the most expensive
+# non-matmul stage, measured 3.6 us/visit on v5e — scripts/prof_r4_parts.py)
+# behind a scalar `any(can improve)` cond.  Unlike BLOCK_SKIP this gate is
+# AFTER the traversal matmul, so gated and ungated kernels return identical
+# results; the only question is sync cost vs skip rate, hence the A/B flag.
+SELECT_GATE = _os.environ.get("PTAP_SELECT_GATE", "1") == "1"
+
 
 def _mm(a, b):
     """Matmul at the configured traversal precision (see PRECISION_MODE)."""
@@ -109,6 +116,13 @@ _MT_METAL = float(int(MaterialType.METAL))
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _idx_width(max_bounces: int) -> int:
+    """Columns of the emit_idx output: max_bounces rounded up to a multiple
+    of 8 (sublane alignment), so any bounce count works — the old fixed
+    width of 8 made max_bounces > 8 crash at trace time (ADVICE r3)."""
+    return max(8, -(-max_bounces // 8) * 8)
 
 
 # ---------------------------------------------------------------------------
@@ -318,50 +332,77 @@ def _trace_inkernel(
         t = num2 * inv_det
         u = s_ca * inv_det
         v = s_ab * inv_det
-        accept = (
-            (u >= -EPS)
-            & (u <= 1.0 + EPS)
-            & (v >= -EPS)
-            & (u + v <= 1.0 + EPS)
-            & (t >= -EPS)
-        )
+        # exact reformulation of the 5 epsilon tests (Renderer.cpp:193-201)
+        # in 2 fused range checks: min(u,v,t) >= -EPS covers the three lower
+        # bounds, max(u, u+v) <= 1+EPS the two upper bounds (v has no upper
+        # test in the reference).  5 fewer VPU slab passes per visit; NaN/inf
+        # lanes from det==0 still fail (min/max propagate NaN, NaN >= x is
+        # false; +-inf fails one side).
+        m_lo = jnp.minimum(jnp.minimum(u, v), t)
+        m_hi = jnp.maximum(u, u + v)
+        accept = (m_lo >= -EPS) & (m_hi <= 1.0 + EPS)
         if debug:
             accept = accept & ~parallel
         t_m = jnp.where(accept, t, F_MAX)
         blk_min = jnp.min(t_m, axis=1, keepdims=True)
-        local_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None]
 
-        acols = pl.ds(pl.multiple_of(blk * tri_block, tri_block), tri_block)
-        slab = attr_ref[:, acols]  # (16, TB) — lane-dim slice: dynamic-safe
-        onehot = (col_iota == local_arg).astype(jnp.float32)  # (R, TB)
-        # HIGHEST so attribute values pass through exactly (the one-hot
-        # contraction sums a single f32 term per output; bf16 passes would
-        # corrupt mat_type/idx); lane-contracted dot_general == onehot @ slab.T
-        new_attrs = jax.lax.dot_general(
-            onehot, slab,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (R, 16)
-
-        # lexicographic (t, idx) tie-break, matching the other engines.
-        # In ascending-block order the strict < suffices; worklist mode
-        # visits blocks tmin-sorted (out of index order), so exact-t ties
-        # across blocks (shared mesh edges) need the explicit index compare.
-        # Both idx+1 values come from attr row 10 via the select matmul —
-        # deriving the candidate from ``blk * TB + local_arg`` instead hits
-        # Mosaic "Not implemented: Lane broadcast" on the argmin layout.
-        improve = blk_min < best_t
+        # a visit can touch the carry only if some lane's block-min beats
+        # (worklist: ties included for the index tie-break) its current
+        # best — precomputing this BEFORE argmin + attribute select lets a
+        # scalar cond skip them (~3.6 us/visit measured r4, 31% of the
+        # whole kernel) for the cost of one vector->scalar sync (~0.8 us,
+        # the r3 BLOCK_SKIP measurement).  Unlike the r3 AABB gates this
+        # gate sits BEHIND the matmul, so it never changes which blocks
+        # are traced — results are bit-identical gated or not.
+        improve_pre = blk_min < best_t
         if worklist is not None:
-            improve = improve | (
-                (blk_min == best_t)
-                & (blk_min < F_MAX)
-                & (new_attrs[:, 10:11] < attrs[:, 10:11])
+            improve_pre = improve_pre | (
+                (blk_min == best_t) & (blk_min < F_MAX)
             )
-        return (
-            jnp.where(improve, blk_min, best_t),
-            jnp.where(improve, new_attrs, attrs),
-        )
+
+        def do_select(carry):
+            best_t, attrs = carry
+            local_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None]
+
+            acols = pl.ds(pl.multiple_of(blk * tri_block, tri_block), tri_block)
+            slab = attr_ref[:, acols]  # (16, TB) — lane-dim slice: dynamic-safe
+            onehot = (col_iota == local_arg).astype(jnp.float32)  # (R, TB)
+            # HIGHEST so attribute values pass through exactly (the one-hot
+            # contraction sums a single f32 term per output; bf16 passes
+            # would corrupt mat_type/idx); lane-contracted dot_general ==
+            # onehot @ slab.T
+            new_attrs = jax.lax.dot_general(
+                onehot, slab,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (R, 16)
+
+            # lexicographic (t, idx) tie-break, matching the other engines.
+            # In ascending-block order the strict < suffices; worklist mode
+            # visits blocks tmin-sorted (out of index order), so exact-t
+            # ties across blocks (shared mesh edges) need the explicit
+            # index compare.  Both idx+1 values come from attr row 10 via
+            # the select matmul — deriving the candidate from
+            # ``blk * TB + local_arg`` instead hits Mosaic "Not
+            # implemented: Lane broadcast" on the argmin layout.
+            improve = blk_min < best_t
+            if worklist is not None:
+                improve = improve | (
+                    (blk_min == best_t)
+                    & (blk_min < F_MAX)
+                    & (new_attrs[:, 10:11] < attrs[:, 10:11])
+                )
+            return (
+                jnp.where(improve, blk_min, best_t),
+                jnp.where(improve, new_attrs, attrs),
+            )
+
+        if SELECT_GATE:
+            return jax.lax.cond(
+                jnp.any(improve_pre), do_select, lambda c: c, carry
+            )
+        return do_select(carry)
 
     def visit_gated(blk, carry):
         best_t, attrs = carry
@@ -420,7 +461,7 @@ def _megakernel(
     ops_ref,  # (16, 4*T)
     attr_ref,  # (16, T)
     out_ref,  # (R, 4)
-    idx_ref=None,  # (R, 8) per-bounce hit idx+1, 0 = miss (emit_idx only)
+    idx_ref=None,  # (R, _idx_width(B)) per-bounce hit idx+1, 0 = miss (emit_idx only)
     *,
     tri_block: int,
     n_blocks: int,
@@ -464,7 +505,9 @@ def _megakernel(
     )
     out_ref[:] = out
     if emit_idx:
-        idx_cols.append(jnp.zeros((r, 8 - max_bounces), jnp.float32))
+        idx_cols.append(
+            jnp.zeros((r, _idx_width(max_bounces) - max_bounces), jnp.float32)
+        )
         idx_ref[:] = jnp.concatenate(idx_cols, axis=1)
 
 
@@ -491,8 +534,9 @@ def _sample_pallas_call(
     out_specs = [pl.BlockSpec((ray_tile, 4), lambda i, A, M: (i, 0))]
     out_shape = [jax.ShapeDtypeStruct((n, 4), jnp.float32)]
     if emit_idx:
-        out_specs.append(pl.BlockSpec((ray_tile, 8), lambda i, A, M: (i, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((n, 8), jnp.float32))
+        iw = _idx_width(max_bounces)
+        out_specs.append(pl.BlockSpec((ray_tile, iw), lambda i, A, M: (i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((n, iw), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -235,6 +235,16 @@ class WorldTriangles:
     # [0(0:6), -n(6:9), -d_plane(9), 0...] so the product is t*det directly.
     fused_ops: jax.Array | None = None  # (16, 4*T) f32
     block_aabb: jax.Array | None = None  # (nb, 8) f32 [min xyz, max xyz, 0, 0]
+    # Material-slot indirection for the differentiable replay: per-triangle
+    # owning model instance + the (M, 3) model color table (the same leaf as
+    # ``scene.mat_color``).  ``hit_from_index`` fetches hit colors as
+    # ``one_hot(tri_model[idx]) @ mat_table`` — an MXU matmul whose VJP is
+    # another matmul — instead of ``mat_color[idx]``, whose VJP is a
+    # serialized TPU scatter-add over every ray (the r3 fwd+bwd bottleneck,
+    # VERDICT r3 task 3).  Forward values are identical: ``mat_color`` is
+    # baked as exactly ``mat_table[tri_model]``.
+    tri_model: jax.Array | None = None  # (T,) i32
+    mat_table: jax.Array | None = None  # (M, 3) f32
     # Per-triangle shading attribute rows for in-kernel hit-attribute
     # selection (megakernel): [shade_n(0:3), mat_type(3), rgb(4:7),
     # geom_n(7:10), idx+1(10), 0(11:16)].  Consumed as (16, TB) lane-dim

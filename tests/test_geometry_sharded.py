@@ -41,3 +41,54 @@ def test_geometry_sharded_matches_replicated():
                         tile_size=64)
     )
     np.testing.assert_allclose(img_ring, img_dp, atol=1e-5)
+
+    # the r2 dense-sweep ring must agree with the r4 fused-worklist ring
+    # (identical accept logic, rotation-order-independent reduction)
+    img_dense = np.asarray(
+        render_image_geometry_sharded(
+            scene, cfg, mesh=mesh, tile_size=64, engine="dense"
+        )
+    )
+    np.testing.assert_allclose(img_ring, img_dense, atol=1e-5)
+
+
+def test_geometry_sharded_train_step_matches_single_device():
+    """Ring-forward diff step == single-device diff step (VERDICT r3 task 4:
+    the geometry-sharded mode is a first-class differentiable citizen)."""
+    import jax.numpy as jnp
+
+    from pathtracerap_tpu.diff.grad import extract_params, image_loss
+    from pathtracerap_tpu.parallel.geometry import make_geometry_sharded_train_step
+
+    scene = build_cornell_box_scene().to_device()
+    n_dev = len(jax.devices())
+    mesh = Mesh(np.asarray(jax.devices()), ("shard",))
+    res = RES
+    n = res[0] * res[1]
+    tile = n // n_dev
+    step = make_geometry_sharded_train_step(
+        scene, CAMERA, res, n_samples=2, max_bounces=3, mesh=mesh,
+        tile_size=tile,
+    )
+    params = extract_params(scene, ("mat_color",))
+    target = jnp.zeros((n, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    loss, new_params = step(params, target, key)
+    assert np.isfinite(float(loss))
+
+    # single-device reference: same tile size => same RNG streams; the
+    # pallas diff tracer and the ring diff tracer share accept logic and
+    # the one-hot material replay, so grads agree to fp roundoff
+    def sum_loss(p):
+        return image_loss(
+            p, scene, target, key, CAMERA, res, 2, 3,
+            tile_size=tile, reduce="sum", engine="pallas",
+        )
+
+    loss1, g1 = jax.jit(jax.value_and_grad(sum_loss))(params)
+    np.testing.assert_allclose(float(loss), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params["mat_color"]),
+        np.asarray(params["mat_color"] - 0.05 * g1["mat_color"]),
+        rtol=1e-4, atol=1e-6,
+    )
