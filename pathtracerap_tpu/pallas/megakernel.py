@@ -85,6 +85,17 @@ BLOCK_SKIP = _os.environ.get("PTAP_BLOCK_SKIP", "0") == "1"
 # results; the only question is sync cost vs skip rate, hence the A/B flag.
 SELECT_GATE = _os.environ.get("PTAP_SELECT_GATE", "1") == "1"
 
+# Samples per megakernel launch for the parity camera (grid (tiles, spp)):
+# amortizes the per-sample XLA glue (~8% of sample time, prof_r4_parts).
+# 1 disables batching (A/B).
+SAMPLE_BATCH = int(_os.environ.get("PTAP_SAMPLE_BATCH", "8"))
+
+# Binned engine: re-sort the wavefront every this many bounces.  1 =
+# every bounce (r3 behavior); the sort+gather costs 74 ms/bounce at the
+# reference wavefront, so coarser re-sorting trades visit coherence for
+# permutation cost (A/B via PTAP_RESORT_EVERY).
+RESORT_EVERY = int(_os.environ.get("PTAP_RESORT_EVERY", "2"))
+
 
 def _mm(a, b):
     """Matmul at the configured traversal precision (see PRECISION_MODE)."""
@@ -457,7 +468,7 @@ def _megakernel(
     margin_ref,  # SMEM (1,)
     w_ref,  # (R, 16) primary pack [d, o x d, o, -1, 1, 0...]
     prim_ref,  # (R, 12) primary hit [t, shade_n(3), mt, rgb(3), geom_n(3), idx+1]
-    u_ref,  # (R, 4*B) uniforms, bounce-major
+    u_ref,  # (R, 4*B) uniforms, bounce-major ((1, R, 4*B) when sample-batched)
     ops_ref,  # (16, 4*T)
     attr_ref,  # (16, T)
     out_ref,  # (R, 4)
@@ -470,6 +481,7 @@ def _megakernel(
     use_primary: bool,
     emit_idx: bool = False,
     debug: bool = False,
+    sample_batch: bool = False,
 ):
     r = w_ref.shape[0]
     margin = margin_ref[0]
@@ -478,6 +490,7 @@ def _megakernel(
     color = jnp.ones((r, 3), jnp.float32)
     remaining = jnp.full((r, 1), float(max_bounces), jnp.float32)
     idx_cols = []
+    u_all = u_ref[0] if sample_batch else u_ref
 
     for b in range(max_bounces):
         if b == 0 and use_primary:
@@ -495,7 +508,7 @@ def _megakernel(
         if emit_idx:
             # a frozen topology entry only counts where the lane was live
             idx_cols.append(jnp.where(remaining > 0.0, idx1, 0.0))
-        u = u_ref[:, 4 * b : 4 * b + 4]
+        u = u_all[:, 4 * b : 4 * b + 4]
         orig, dirn, color, remaining = _shade_inkernel(
             orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity
         )
@@ -503,7 +516,23 @@ def _megakernel(
     out = jnp.concatenate(
         [jnp.sqrt(jnp.maximum(color, 0.0)), jnp.zeros((r, 1), jnp.float32)], axis=1
     )
-    out_ref[:] = out
+    if sample_batch:
+        # grid (nt, ns): the output block index is constant over samples, so
+        # the VMEM buffer persists across the s dimension — accumulate in
+        # place, write-through happens when the tile changes (the per-tile
+        # analog of the reference's image += per iteration,
+        # Renderer.cpp:489-495, without per-sample HBM traffic)
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            out_ref[:] = out
+
+        @pl.when(s != 0)
+        def _():
+            out_ref[:] = out_ref[:] + out
+    else:
+        out_ref[:] = out
     if emit_idx:
         idx_cols.append(
             jnp.zeros((r, _idx_width(max_bounces) - max_bounces), jnp.float32)
@@ -579,6 +608,74 @@ def _sample_pallas_call(
     if emit_idx:
         return outs[0][:, 0:3], outs[1]
     return outs[0][:, 0:3]
+
+
+def _sample_pallas_call_batched(
+    world: WorldTriangles,
+    w16: jax.Array,  # (N, 16)
+    prim: jax.Array,  # (N, 12)
+    uniforms: jax.Array,  # (ns, N, 4*B)
+    margin: jax.Array,  # () f32
+    max_bounces: int,
+    parity: bool,
+    ray_tile: int = RAY_TILE,
+    debug: bool = False,
+):
+    """Sample-batched megakernel: grid (tiles, samples), the per-tile output
+    accumulated in VMEM across the sample dimension (PERF_NOTES r3 lever 2).
+    Parity camera only (same primary pack for every sample).  Returns the
+    (N, 3) SUM of the ns samples' contributions."""
+    n = w16.shape[0]
+    ns = uniforms.shape[0]
+    nb = world.block_aabb.shape[0]
+    tri_block = world.tri_block
+    assert n % ray_tile == 0, (n, ray_tile)
+    nt = n // ray_tile
+    ucols = uniforms.shape[2]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt, ns),
+        in_specs=[
+            pl.BlockSpec((ray_tile, 16), lambda i, s, A, M: (i, 0)),
+            pl.BlockSpec((ray_tile, 12), lambda i, s, A, M: (i, 0)),
+            pl.BlockSpec((1, ray_tile, ucols), lambda i, s, A, M: (s, i, 0)),
+            pl.BlockSpec(
+                (16, world.fused_ops.shape[1]), lambda i, s, A, M: (0, 0)
+            ),
+            pl.BlockSpec(
+                (16, world.attr_rows.shape[1]), lambda i, s, A, M: (0, 0)
+            ),
+        ],
+        out_specs=[pl.BlockSpec((ray_tile, 4), lambda i, s, A, M: (i, 0))],
+    )
+    (out,) = pl.pallas_call(
+        functools.partial(
+            _megakernel,
+            tri_block=tri_block,
+            n_blocks=nb,
+            max_bounces=max_bounces,
+            parity=parity,
+            use_primary=True,
+            emit_idx=False,
+            debug=debug,
+            sample_batch=True,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, 4), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * world.fused_ops.shape[1] * 16 * max_bounces * ns,
+            bytes_accessed=n * (16 + 12 + ns * ucols + 4) * 4
+            + world.fused_ops.size * 4,
+            transcendentals=n * max_bounces * 8 * ns,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(
+        world.block_aabb, margin.reshape(1),
+        w16, prim, uniforms, world.fused_ops, world.attr_rows,
+    )
+    return out[:, 0:3]
 
 
 def _rng_tiling(n: int, n_pad: int, rng_tile: int = RNG_TILE):
@@ -689,6 +786,27 @@ def render_samples_fused(
     else:
         prim = jnp.zeros((n_pad, 12), jnp.float32)
 
+    if use_primary and SAMPLE_BATCH > 1 and n_samples > 1:
+        # sample-batched grid (PERF_NOTES r3 lever 2): uniforms for up to
+        # SAMPLE_BATCH samples are pre-drawn and streamed per grid step;
+        # the per-tile output accumulates in VMEM across the sample
+        # dimension.  Sub-batched so the uniform buffer stays bounded
+        # (~0.5 GB at 8 x 800k x 20 cols).
+        acc = jnp.zeros((n_pad, 3), jnp.float32)
+        done = 0
+        while done < n_samples:
+            ns = min(SAMPLE_BATCH, n_samples - done)
+            offs = sample_offset + done + jnp.arange(ns)
+            u_all = jax.vmap(
+                lambda s: chunk_uniforms(key, s, max_bounces, n, n_pad, tile_base)
+            )(offs)
+            acc = acc + _sample_pallas_call_batched(
+                world, w16, prim, u_all, margin, max_bounces, parity,
+                ray_tile=ray_tile, debug=debug,
+            )
+            done += ns
+        return acc[:n]
+
     def body(i, acc):
         s = sample_offset + i
         u = chunk_uniforms(key, s, max_bounces, n, n_pad, tile_base)
@@ -735,7 +853,7 @@ def render_samples_fused(
 
 
 def _bounce_kernel(
-    len_ref,  # SMEM (nt,) i32 — per-tile worklist length
+    nlive_ref,  # SMEM (nt,) i32 — live rays per tile (dead tiles skipped)
     list_ref,  # SMEM (nt, nb) i32 — per-tile tmin-sorted block worklist
     st_ref,  # (R, 16) [orig(0:3), dir(3:6), color(6:9), remaining(9), 0...]
     u_ref,  # (R, 4)
@@ -752,26 +870,37 @@ def _bounce_kernel(
     The visit set comes entirely from the XLA-level slab pass
     (``trace._tile_block_lists`` on the sorted wavefront) — the kernel
     gates each entry on a scalar SMEM ``blk >= 0`` test (no
-    vector->scalar syncs); dead/fully-culled tiles run no visit bodies.
-    """
+    vector->scalar syncs).  Sorting sinks dead rays to the wavefront's
+    tail, so whole-tile death is the common case on late bounces (live
+    fraction 0.89 -> 0.32 over bounces 1-4, prof_r4_binned): the per-tile
+    ``nlive`` scalar skips trace AND shade for such tiles with a plain
+    state pass-through — the wavefront analog of the reference's shrinking
+    compacted launches (Renderer.cpp:628-634)."""
     i = pl.program_id(0)
-    orig = st_ref[:, 0:3]
-    dirn = st_ref[:, 3:6]
-    color = st_ref[:, 6:9]
-    remaining = st_ref[:, 9:10]
-    del len_ref  # list is -1-padded; the scalar gate reads list_ref only
-    t, n, mt, mc, gn, _ = _trace_inkernel(
-        orig, dirn, remaining, None, 0.0, ops_ref, attr_ref,
-        tri_block, 0, debug=debug,
-        worklist=(list_ref.shape[1], lambda j: list_ref[i, j]),
-    )
-    orig, dirn, color, remaining = _shade_inkernel(
-        orig, dirn, color, remaining, t, n, mt, mc, gn, u_ref[:], parity
-    )
-    r = orig.shape[0]
-    out_ref[:] = jnp.concatenate(
-        [orig, dirn, color, remaining, jnp.zeros((r, 6), jnp.float32)], axis=1
-    )
+
+    @pl.when(nlive_ref[i] == 0)
+    def _():
+        out_ref[:] = st_ref[:]
+
+    @pl.when(nlive_ref[i] > 0)
+    def _():
+        orig = st_ref[:, 0:3]
+        dirn = st_ref[:, 3:6]
+        color = st_ref[:, 6:9]
+        remaining = st_ref[:, 9:10]
+        t, n, mt, mc, gn, _ = _trace_inkernel(
+            orig, dirn, remaining, None, 0.0, ops_ref, attr_ref,
+            tri_block, 0, debug=debug,
+            worklist=(list_ref.shape[1], lambda j: list_ref[i, j]),
+        )
+        orig, dirn, color, remaining = _shade_inkernel(
+            orig, dirn, color, remaining, t, n, mt, mc, gn, u_ref[:], parity
+        )
+        r = orig.shape[0]
+        out_ref[:] = jnp.concatenate(
+            [orig, dirn, color, remaining, jnp.zeros((r, 6), jnp.float32)],
+            axis=1,
+        )
 
 
 def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
@@ -789,7 +918,9 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
     block_list = _tile_block_lists(
         world.block_aabb, orig, d_n, alive_f, ray_tile, margin
     )
-    lens = jnp.sum((block_list >= 0).astype(jnp.int32), axis=1)
+    nlive = jnp.sum(
+        alive_f.reshape(nt, ray_tile).astype(jnp.int32), axis=1
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -810,7 +941,7 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
         out_shape=[jax.ShapeDtypeStruct((n, 16), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(lens, block_list, pack, u, world.fused_ops, world.attr_rows)
+    )(nlive, block_list, pack, u, world.fused_ops, world.attr_rows)
     return out
 
 
@@ -892,9 +1023,14 @@ def render_samples_binned(
         )
         pix = jnp.arange(n_pad, dtype=jnp.int32)
         for b in range(1, max_bounces):
-            perm = jnp.argsort(_sort_keys(pack, lo, hi), stable=True)
-            pack = pack[perm]
-            pix = pix[perm]
+            # The argsort + 16-col row gather is the binned engine's single
+            # biggest cost (74 ms/bounce at 800k rays, prof_r4_binned) while
+            # coherence decays only slowly as rays advance — re-sort every
+            # RESORT_EVERY bounces (default 2: measured best total).
+            if (b - 1) % RESORT_EVERY == 0:
+                perm = jnp.argsort(_sort_keys(pack, lo, hi), stable=True)
+                pack = pack[perm]
+                pix = pix[perm]
             u_b = u_all[:, 4 * b : 4 * b + 4][pix]
             pack = _bounce_call(world, margin, pack, u_b, parity, ray_tile,
                                 debug=debug)

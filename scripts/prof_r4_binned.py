@@ -55,6 +55,17 @@ def timeit(f, reps=3):
     return min(ts)
 
 
+def scalarize(fn):
+    """Reduce a pack-returning loop to ONE scalar before the host fetch —
+    fetching the (N, 16) pack through the axon tunnel costs ~1.5 s/call
+    and silently dominated the first-cut r4 numbers."""
+    def wrapped():
+        out = fn()
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(l[..., 0]) if l.ndim else l for l in leaves)
+    return wrapped
+
+
 # ---- full binned engine
 f_full = jax.jit(lambda: MK.render_samples_binned(
     world, ro, rd, key, n_samples=SPP, max_bounces=5))
@@ -114,7 +125,7 @@ def kernel_loop():
 
 for name, fn in [("sort_only", sort_loop), ("lists_only", lists_loop),
                  ("kernel_only", kernel_loop)]:
-    dt = timeit(jax.jit(fn)) / REP
+    dt = timeit(jax.jit(scalarize(fn))) / REP
     print(f"{name:12s}: {dt*1e3:6.2f} ms/bounce")
 
 # ---- visit stats: post-sort worklist lengths per bounce

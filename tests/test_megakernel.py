@@ -125,3 +125,39 @@ def test_binned_matches_fused_engine(scene):
     img_b = _render(scene, "binned", max_bounces=4)
     img_f = _render(scene, "fused", max_bounces=4)
     np.testing.assert_allclose(img_b, img_f, atol=1e-5)
+
+
+def test_mosaic_vs_interpret_exactness(scene):
+    """VERDICT r3 task 8: with f32 (HIGHEST) matmuls, the compiled Mosaic
+    megakernel and the interpret-mode evaluation of the same kernel body
+    compute the same IEEE arithmetic — any divergence is a Mosaic lowering
+    drift.  Runs only in a TPU session (``scripts/check_tpu_exactness.py``
+    is the full-size standalone); under the CPU test mesh the kernel is
+    already interpreted so the comparison is vacuous."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        import pytest
+
+        pytest.skip("Mosaic-vs-interpret comparison needs a real TPU")
+    import os
+
+    if os.environ.get("PTAP_MM_PRECISION", "bf16x3") != "f32":
+        import pytest
+
+        pytest.skip("set PTAP_MM_PRECISION=f32 for an IEEE-comparable run")
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pathtracerap_tpu.ops.plucker import bake_world_triangles
+    from pathtracerap_tpu.pallas.megakernel import render_samples_fused
+    from pathtracerap_tpu.render.camera import generate_rays
+
+    world = jax.jit(bake_world_triangles)(scene)
+    ro, rd = generate_rays(CAMERA, (64, 32))
+    key = jax.random.PRNGKey(3)
+    a = np.asarray(render_samples_fused(world, ro, rd, key, 1, 3))
+    with pltpu.force_tpu_interpret_mode():
+        b = np.asarray(render_samples_fused(world, ro, rd, key, 1, 3))
+    diff = np.abs(a - b)
+    assert diff.max() <= 2e-5 * max(1.0, np.abs(a).max()), diff.max()
