@@ -90,11 +90,20 @@ SELECT_GATE = _os.environ.get("PTAP_SELECT_GATE", "1") == "1"
 # 1 disables batching (A/B).
 SAMPLE_BATCH = int(_os.environ.get("PTAP_SAMPLE_BATCH", "8"))
 
-# Binned engine: re-sort the wavefront every this many bounces.  1 =
-# every bounce (r3 behavior); the sort+gather costs 74 ms/bounce at the
-# reference wavefront, so coarser re-sorting trades visit coherence for
-# permutation cost (A/B via PTAP_RESORT_EVERY).
-RESORT_EVERY = int(_os.environ.get("PTAP_RESORT_EVERY", "2"))
+# Binned engine: re-sort the wavefront every this many bounces (A/B via
+# PTAP_RESORT_EVERY).  The corrected microbenchmark (prof_r4_sort with
+# scalarized outputs — the first cut fetched 48 MB per call through the
+# axon tunnel and read 74 ms/bounce; the true cost is ~7) shows argsort +
+# row gather at 3.4 + 6.1 ms/bounce, so per-bounce re-sorting is cheap and
+# keeps both visit coherence AND the dead-ray tail that the per-tile
+# nlive skip prunes.
+RESORT_EVERY = int(_os.environ.get("PTAP_RESORT_EVERY", "1"))
+
+# Lane-major (components, R) in-kernel shading: the row-major (R, 3)/(R, 1)
+# slabs use 3 (or 1) of 128 VPU lanes per op — measured 70 ms/sample of
+# lane waste (prof_r4_parts `noshade`).  Costs a handful of small
+# relayouts per bounce at the trace boundary.  A/B via PTAP_SHADE_T.
+SHADE_T = _os.environ.get("PTAP_SHADE_T", "1") == "1"
 
 
 def _mm(a, b):
@@ -216,6 +225,136 @@ def _coat_scatter(n, d, u0, u1, u2, parity: bool):
     return jnp.where(u0 < constants.COAT_REFLECT_PROBABILITY, mirror, diffuse)
 
 
+# ---------------------------------------------------------------------------
+# Transposed (lane-major) shading: every state array is (components, R) so
+# rays ride the 128-lane dimension.  The row-major (R, 3)/(R, 1) slabs the
+# r2/r3 shade used occupy 3 (or 1) of 128 lanes per VPU op — measured 70
+# ms/sample of almost pure lane waste (prof_r4_parts `noshade`).  Same math,
+# same RNG consumption; selected by PTAP_SHADE_T.
+# ---------------------------------------------------------------------------
+
+
+def _norm3_t(v):  # (3, R)
+    return v * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(v * v, axis=0, keepdims=True), 1e-30)
+    )
+
+
+def _cross3_t(a, b):  # (3, R)
+    ax, ay, az = a[0:1], a[1:2], a[2:3]
+    bx, by, bz = b[0:1], b[1:2], b[2:3]
+    return jnp.concatenate(
+        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=0
+    )
+
+
+def _dot3_t(a, b):  # -> (1, R)
+    return jnp.sum(a * b, axis=0, keepdims=True)
+
+
+def _axis_onehot_t(r, k):
+    i = jax.lax.broadcasted_iota(jnp.int32, (3, r), 0)
+    return (i == k).astype(jnp.float32)
+
+
+def _cosine_hemisphere_t(n, u0, u1):
+    up = jnp.sqrt(jnp.maximum(u0, 0.0))
+    over = jnp.sqrt(jnp.maximum(1.0 - up * up, 0.0))
+    around = u1 * constants.TWO_PI
+    r = n.shape[1]
+    ax = jnp.abs(n[0:1])
+    ay = jnp.abs(n[1:2])
+    s13 = constants.SQRT_OF_ONE_THIRD
+    seed = jnp.where(
+        ax < s13,
+        _axis_onehot_t(r, 0),
+        jnp.where(ay < s13, _axis_onehot_t(r, 1), _axis_onehot_t(r, 2)),
+    )
+    t1 = _norm3_t(_cross3_t(n, seed))
+    t2 = _norm3_t(_cross3_t(n, t1))
+    return up * n + (jnp.cos(around) * over) * t1 + (jnp.sin(around) * over) * t2
+
+
+def _metal_scatter_t(n, d, u2, u3):
+    phi = constants.TWO_PI * u2
+    cos_t = jnp.power(
+        jnp.maximum(1.0 - u3, 0.0), 1.0 / (constants.METAL_PHONG_EXPONENT + 1.0)
+    )
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    ndotd = _dot3_t(n, d)
+    w = _norm3_t(d - n * (2.0 * ndotd))
+    r = n.shape[1]
+    seed = jnp.where(
+        jnp.abs(w[0:1]) > 0.1, _axis_onehot_t(r, 1), _axis_onehot_t(r, 0)
+    )
+    u = _norm3_t(_cross3_t(seed, w))
+    v = _cross3_t(w, u)
+    return u * (jnp.cos(phi) * sin_t) + v * (jnp.sin(phi) * sin_t) + w * cos_t
+
+
+def _reflect_t(d, n, parity: bool):
+    dn = _dot3_t(d, n)
+    base = n if parity else d
+    return base - 2.0 * dn * n
+
+
+def _coat_scatter_t(n, d, u0, u1, u2, parity: bool):
+    mirror = _reflect_t(d, n, parity)
+    diffuse = _cosine_hemisphere_t(n, u1, u2)
+    return jnp.where(u0 < constants.COAT_REFLECT_PROBABILITY, mirror, diffuse)
+
+
+def _shade_inkernel_t(orig, dirn, color, remaining, t, n, mt, mc, gn, u,
+                      parity: bool):
+    """Transposed-layout port of :func:`_shade_inkernel`: every operand is
+    (components, R).  ``u`` is (4, R)."""
+    alive = remaining > 0.0
+    hit = t < F_MAX
+    d = _norm3_t(dirn)
+    pt = orig + d * t
+    spawn = pt + constants.SPAWN_OFFSET * n
+
+    def is_mat(v):
+        return jnp.abs(mt - v) < 0.5
+
+    is_diffuse = is_mat(_MT_DIFFUSE)
+    is_metal = is_mat(_MT_METAL)
+    is_coat = is_mat(_MT_COAT)
+    is_emissive = is_mat(_MT_EMISSIVE)
+    is_reflective = is_mat(_MT_REFLECTIVE)
+
+    u0, u1, u2, u3 = u[0:1], u[1:2], u[2:3], u[3:4]
+    dir_diffuse = _cosine_hemisphere_t(n, u0, u1)
+    dir_metal = _metal_scatter_t(n, d, u2, u3)
+    dir_coat = _coat_scatter_t(n, d, u0, u1, u2, parity)
+    dir_refl = _reflect_t(d, n, parity)
+
+    scatters = is_diffuse | is_metal | is_coat | is_reflective
+    new_dir = jnp.where(
+        is_diffuse,
+        dir_diffuse,
+        jnp.where(is_metal, dir_metal, jnp.where(is_coat, dir_coat, dir_refl)),
+    )
+
+    shaded = alive & hit
+    upd_dir = shaded & scatters
+    upd_col = shaded & (scatters | is_emissive)
+
+    orig = jnp.where(upd_dir, spawn, orig)
+    dirn = jnp.where(upd_dir, new_dir, dirn)
+    if not parity:
+        cosf = _dot3_t(dir_diffuse, gn)
+        mc = mc * jnp.where(is_diffuse, jnp.maximum(cosf, 0.0), 1.0)
+    color = jnp.where(upd_col, color * mc, color)
+    missed = alive & ~hit
+    color = jnp.where(missed, color * constants.MISS_ATTENUATION, color)
+    kill = missed | (shaded & is_emissive)
+    remaining = jnp.where(
+        kill, 0.0, jnp.where(alive, remaining - 1.0, remaining)
+    )
+    return orig, dirn, color, remaining
+
+
 def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity: bool):
     """One wavefront shading step on VMEM slabs — port of
     :func:`render.shade.shade` (shadeRayKernel, Renderer.cpp:411-479)."""
@@ -271,6 +410,7 @@ def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity: b
 def _trace_inkernel(
     orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
     tri_block: int, n_blocks: int, debug: bool = False, worklist=None,
+    return_raw: bool = False,
 ):
     """Nearest hit + attribute select for the live wavefront, all in VMEM.
 
@@ -458,6 +598,8 @@ def _trace_inkernel(
             init,
             unroll=n_blocks <= 8,
         )
+    if return_raw:
+        return best_t, attrs
     # [shade_n, mat_type, rgb, geom_n, idx+1] — see WorldTriangles.attr_rows
     return (best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7],
             attrs[:, 7:10], attrs[:, 10:11])
@@ -487,19 +629,42 @@ def _megakernel(
     margin = margin_ref[0]
     orig = w_ref[:, 6:9]
     dirn = w_ref[:, 0:3]
-    color = jnp.ones((r, 3), jnp.float32)
-    remaining = jnp.full((r, 1), float(max_bounces), jnp.float32)
     idx_cols = []
     u_all = u_ref[0] if sample_batch else u_ref
+    # emit_idx (the differentiable replay) stays on the row layout — its
+    # per-bounce idx columns are row vectors by construction
+    shade_t = SHADE_T and not emit_idx
+
+    if shade_t:
+        color_t = jnp.ones((3, r), jnp.float32)
+        remaining_t = jnp.full((1, r), float(max_bounces), jnp.float32)
+    else:
+        color = jnp.ones((r, 3), jnp.float32)
+        remaining = jnp.full((r, 1), float(max_bounces), jnp.float32)
 
     for b in range(max_bounces):
+        if shade_t:
+            remaining = remaining_t.T
         if b == 0 and use_primary:
-            t = prim_ref[:, 0:1]
-            n = prim_ref[:, 1:4]
-            mt = prim_ref[:, 4:5]
-            mc = prim_ref[:, 5:8]
-            gn = prim_ref[:, 8:11]
-            idx1 = prim_ref[:, 11:12]
+            if shade_t:
+                pt_ = prim_ref[:].T  # (12, R)
+                t_t, n_t = pt_[0:1], pt_[1:4]
+                mt_t, mc_t, gn_t = pt_[4:5], pt_[5:8], pt_[8:11]
+            else:
+                t = prim_ref[:, 0:1]
+                n = prim_ref[:, 1:4]
+                mt = prim_ref[:, 4:5]
+                mc = prim_ref[:, 5:8]
+                gn = prim_ref[:, 8:11]
+                idx1 = prim_ref[:, 11:12]
+        elif shade_t:
+            best_t, attrs = _trace_inkernel(
+                orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
+                tri_block, n_blocks, debug=debug, return_raw=True,
+            )
+            at = attrs.T  # (16, R) — ONE relayout instead of 5 row slices
+            t_t = best_t.T
+            n_t, mt_t, mc_t, gn_t = at[0:3], at[3:4], at[4:7], at[7:10]
         else:
             t, n, mt, mc, gn, idx1 = _trace_inkernel(
                 orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
@@ -509,13 +674,27 @@ def _megakernel(
             # a frozen topology entry only counts where the lane was live
             idx_cols.append(jnp.where(remaining > 0.0, idx1, 0.0))
         u = u_all[:, 4 * b : 4 * b + 4]
-        orig, dirn, color, remaining = _shade_inkernel(
-            orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity
-        )
+        if shade_t:
+            o_t, d_t, color_t, remaining_t = _shade_inkernel_t(
+                orig.T, dirn.T, color_t, remaining_t,
+                t_t, n_t, mt_t, mc_t, gn_t, u.T, parity,
+            )
+            orig, dirn = o_t.T, d_t.T
+        else:
+            orig, dirn, color, remaining = _shade_inkernel(
+                orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity
+            )
 
-    out = jnp.concatenate(
-        [jnp.sqrt(jnp.maximum(color, 0.0)), jnp.zeros((r, 1), jnp.float32)], axis=1
-    )
+    if shade_t:
+        out = jnp.concatenate(
+            [jnp.sqrt(jnp.maximum(color_t, 0.0)), jnp.zeros((1, r), jnp.float32)],
+            axis=0,
+        ).T
+    else:
+        out = jnp.concatenate(
+            [jnp.sqrt(jnp.maximum(color, 0.0)), jnp.zeros((r, 1), jnp.float32)],
+            axis=1,
+        )
     if sample_batch:
         # grid (nt, ns): the output block index is constant over samples, so
         # the VMEM buffer persists across the s dimension — accumulate in
@@ -888,19 +1067,36 @@ def _bounce_kernel(
         dirn = st_ref[:, 3:6]
         color = st_ref[:, 6:9]
         remaining = st_ref[:, 9:10]
-        t, n, mt, mc, gn, _ = _trace_inkernel(
-            orig, dirn, remaining, None, 0.0, ops_ref, attr_ref,
-            tri_block, 0, debug=debug,
-            worklist=(list_ref.shape[1], lambda j: list_ref[i, j]),
-        )
-        orig, dirn, color, remaining = _shade_inkernel(
-            orig, dirn, color, remaining, t, n, mt, mc, gn, u_ref[:], parity
-        )
         r = orig.shape[0]
-        out_ref[:] = jnp.concatenate(
-            [orig, dirn, color, remaining, jnp.zeros((r, 6), jnp.float32)],
-            axis=1,
-        )
+        if SHADE_T:
+            best_t, attrs = _trace_inkernel(
+                orig, dirn, remaining, None, 0.0, ops_ref, attr_ref,
+                tri_block, 0, debug=debug,
+                worklist=(list_ref.shape[1], lambda j: list_ref[i, j]),
+                return_raw=True,
+            )
+            at = attrs.T
+            o_t, d_t, c_t, r_t = _shade_inkernel_t(
+                orig.T, dirn.T, color.T, remaining.T,
+                best_t.T, at[0:3], at[3:4], at[4:7], at[7:10],
+                u_ref[:].T, parity,
+            )
+            out_ref[:] = jnp.concatenate(
+                [o_t, d_t, c_t, r_t, jnp.zeros((6, r), jnp.float32)], axis=0
+            ).T
+        else:
+            t, n, mt, mc, gn, _ = _trace_inkernel(
+                orig, dirn, remaining, None, 0.0, ops_ref, attr_ref,
+                tri_block, 0, debug=debug,
+                worklist=(list_ref.shape[1], lambda j: list_ref[i, j]),
+            )
+            orig, dirn, color, remaining = _shade_inkernel(
+                orig, dirn, color, remaining, t, n, mt, mc, gn, u_ref[:], parity
+            )
+            out_ref[:] = jnp.concatenate(
+                [orig, dirn, color, remaining, jnp.zeros((r, 6), jnp.float32)],
+                axis=1,
+            )
 
 
 def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):

@@ -15,7 +15,8 @@ from pathtracerap_tpu.render.wavefront import Renderer
 
 def test_suite_configs_cover_baseline():
     names = set(suite_configs().keys())
-    assert names == {"cornell", "highpoly", "metallic", "multimesh"}
+    assert names == {"cornell", "highpoly", "metallic", "multimesh",
+                     "gridparity"}
 
 
 def test_multimesh_scene_renders():
@@ -40,7 +41,7 @@ def test_engine_routing_by_scene_size():
     from pathtracerap_tpu.ops.plucker import bake_world_triangles
     from pathtracerap_tpu.render.wavefront import effective_engine
 
-    scene = build_highpoly_scene(subdiv=128)  # ~66k tris: packed, 129+ blocks
+    scene = build_highpoly_scene(subdiv=128, use_asset=False)  # ~66k tris: packed, 129+ blocks
     dev = scene.to_device()
     world = jax.jit(bake_world_triangles)(dev)
     assert world.fused_ops is not None
@@ -48,14 +49,14 @@ def test_engine_routing_by_scene_size():
     assert effective_engine("fused", world, jitter=False) == "binned"
     assert effective_engine("fused", world, jitter=True) == "fused"
 
-    scene2 = build_highpoly_scene(subdiv=224)  # ~200k tris > 160k pack limit
+    scene2 = build_highpoly_scene(subdiv=224, use_asset=False)  # ~200k tris > 160k pack limit
     world2 = jax.jit(bake_world_triangles)(scene2.to_device())
     assert world2.fused_ops is None
     assert effective_engine("fused", world2, jitter=False) == "pallas"
 
 
 def test_highpoly_regime_renders_on_binned_worklists():
-    scene = build_highpoly_scene(subdiv=128)
+    scene = build_highpoly_scene(subdiv=128, use_asset=False)
     img = np.asarray(
         Renderer(
             scene.to_device(),
