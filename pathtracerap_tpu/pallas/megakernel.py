@@ -410,7 +410,7 @@ def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity: b
 def _trace_inkernel(
     orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
     tri_block: int, n_blocks: int, debug: bool = False, worklist=None,
-    return_raw: bool = False,
+    return_raw: bool = False, scratch=None,
 ):
     """Nearest hit + attribute select for the live wavefront, all in VMEM.
 
@@ -456,8 +456,8 @@ def _trace_inkernel(
 
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (r, tri_block), 1)
 
-    def visit_block(blk, carry):
-        best_t, attrs = carry
+    def compute_blk(blk):
+        """The per-block traversal math: (t_m (R, TB), blk_min (R, 1))."""
         cols = pl.ds(
             pl.multiple_of(blk * (4 * tri_block), 4 * tri_block), 4 * tri_block
         )
@@ -496,6 +496,82 @@ def _trace_inkernel(
             accept = accept & ~parallel
         t_m = jnp.where(accept, t, F_MAX)
         blk_min = jnp.min(t_m, axis=1, keepdims=True)
+        return t_m, blk_min
+
+    def select_attrs(blk, t_m):
+        """Winning attributes of this block: argmin one-hot contracted
+        against the block's (16, TB) attr slab in one HIGHEST-precision
+        MXU matmul (attribute values pass through exactly — the one-hot
+        contraction sums a single f32 term per output).
+
+        A single-pass bf16 select over a 3-way bf16-split (48, T) table
+        (exact in IEEE terms and verified exact in interpret mode)
+        MISCOMPILES under Mosaic — 72% of lanes read wrong values on a
+        v5e (r4 measurement); see PERF_NOTES "negative results"."""
+        local_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None]
+        acols = pl.ds(pl.multiple_of(blk * tri_block, tri_block), tri_block)
+        slab = attr_ref[:, acols]  # (16, TB) — lane-dim slice: dynamic-safe
+        onehot = (col_iota == local_arg).astype(jnp.float32)  # (R, TB)
+        return jax.lax.dot_general(
+            onehot, slab,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (R, 16)
+
+    if worklist is not None and scratch is not None:
+        # Scratch-resident best + @pl.when predication: the lax.cond form
+        # below materializes its (R, 1)+(R, 16) carries through every
+        # gated visit — measured ~66 ms/bounce of kernel time at mean 2.1
+        # visits/tile (prof_r4_binned2), i.e. the conds cost more than the
+        # visits.  Predicated writes into VMEM scratch are the dense
+        # kernel's pattern (trace.py:_nearest_hit_kernel) and carry
+        # nothing.
+        nb_w, list_at = worklist
+        best_ref, attrs_ref = scratch
+        best_ref[:] = jnp.full((r, 1), F_MAX, jnp.float32)
+        attrs_ref[:] = jnp.zeros((r, 16), jnp.float32)
+
+        def visit_sc(j, _):
+            blk = list_at(j)
+
+            @pl.when(blk >= 0)
+            def _():
+                t_m, blk_min = compute_blk(blk)
+                best0 = best_ref[:]
+                improve_pre = (blk_min < best0) | (
+                    (blk_min == best0) & (blk_min < F_MAX)
+                )
+
+                def do_update():
+                    new_attrs = select_attrs(blk, t_m)
+                    best1 = best_ref[:]
+                    attrs1 = attrs_ref[:]
+                    improve = (blk_min < best1) | (
+                        (blk_min == best1)
+                        & (blk_min < F_MAX)
+                        & (new_attrs[:, 10:11] < attrs1[:, 10:11])
+                    )
+                    best_ref[:] = jnp.where(improve, blk_min, best1)
+                    attrs_ref[:] = jnp.where(improve, new_attrs, attrs1)
+
+                if SELECT_GATE:
+                    pl.when(jnp.any(improve_pre))(do_update)
+                else:
+                    do_update()
+
+            return 0
+
+        jax.lax.fori_loop(0, nb_w, visit_sc, 0)
+        best_t, attrs = best_ref[:], attrs_ref[:]
+        if return_raw:
+            return best_t, attrs
+        return (best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7],
+                attrs[:, 7:10], attrs[:, 10:11])
+
+    def visit_block(blk, carry):
+        best_t, attrs = carry
+        t_m, blk_min = compute_blk(blk)
 
         # a visit can touch the carry only if some lane's block-min beats
         # (worklist: ties included for the index tie-break) its current
@@ -513,21 +589,7 @@ def _trace_inkernel(
 
         def do_select(carry):
             best_t, attrs = carry
-            local_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None]
-
-            acols = pl.ds(pl.multiple_of(blk * tri_block, tri_block), tri_block)
-            slab = attr_ref[:, acols]  # (16, TB) — lane-dim slice: dynamic-safe
-            onehot = (col_iota == local_arg).astype(jnp.float32)  # (R, TB)
-            # HIGHEST so attribute values pass through exactly (the one-hot
-            # contraction sums a single f32 term per output; bf16 passes
-            # would corrupt mat_type/idx); lane-contracted dot_general ==
-            # onehot @ slab.T
-            new_attrs = jax.lax.dot_general(
-                onehot, slab,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (R, 16)
+            new_attrs = select_attrs(blk, t_m)
 
             # lexicographic (t, idx) tie-break, matching the other engines.
             # In ascending-block order the strict < suffices; worklist mode
@@ -719,6 +781,11 @@ def _megakernel(
         idx_ref[:] = jnp.concatenate(idx_cols, axis=1)
 
 
+
+def _attr_table(world: WorldTriangles):
+    """The (16, T) attribute table fed to the in-kernel select."""
+    return world.attr_rows
+
 def _sample_pallas_call(
     world: WorldTriangles,
     w16: jax.Array,  # (N, 16)
@@ -754,7 +821,7 @@ def _sample_pallas_call(
             pl.BlockSpec((ray_tile, 12), lambda i, A, M: (i, 0)),
             pl.BlockSpec((ray_tile, ucols), lambda i, A, M: (i, 0)),
             pl.BlockSpec((16, world.fused_ops.shape[1]), lambda i, A, M: (0, 0)),
-            pl.BlockSpec((16, world.attr_rows.shape[1]), lambda i, A, M: (0, 0)),
+            pl.BlockSpec(_attr_table(world).shape, lambda i, A, M: (0, 0)),
         ],
         out_specs=out_specs,
     )
@@ -782,7 +849,7 @@ def _sample_pallas_call(
         interpret=_interpret(),
     )(
         world.block_aabb, margin.reshape(1),
-        w16, prim, uniforms, world.fused_ops, world.attr_rows,
+        w16, prim, uniforms, world.fused_ops, _attr_table(world),
     )
     if emit_idx:
         return outs[0][:, 0:3], outs[1]
@@ -823,7 +890,7 @@ def _sample_pallas_call_batched(
                 (16, world.fused_ops.shape[1]), lambda i, s, A, M: (0, 0)
             ),
             pl.BlockSpec(
-                (16, world.attr_rows.shape[1]), lambda i, s, A, M: (0, 0)
+                _attr_table(world).shape, lambda i, s, A, M: (0, 0)
             ),
         ],
         out_specs=[pl.BlockSpec((ray_tile, 4), lambda i, s, A, M: (i, 0))],
@@ -852,7 +919,7 @@ def _sample_pallas_call_batched(
         interpret=_interpret(),
     )(
         world.block_aabb, margin.reshape(1),
-        w16, prim, uniforms, world.fused_ops, world.attr_rows,
+        w16, prim, uniforms, world.fused_ops, _attr_table(world),
     )
     return out[:, 0:3]
 
@@ -1037,8 +1104,10 @@ def _bounce_kernel(
     st_ref,  # (R, 16) [orig(0:3), dir(3:6), color(6:9), remaining(9), 0...]
     u_ref,  # (R, 4)
     ops_ref,  # (16, 4*T)
-    attr_ref,  # (16, T)
+    attr_ref,  # (16|48, T)
     out_ref,  # (R, 16)
+    best_sc,  # scratch VMEM (R, 1) — worklist best-t (see _trace_inkernel)
+    attrs_sc,  # scratch VMEM (R, 16)
     *,
     tri_block: int,
     parity: bool,
@@ -1073,7 +1142,7 @@ def _bounce_kernel(
                 orig, dirn, remaining, None, 0.0, ops_ref, attr_ref,
                 tri_block, 0, debug=debug,
                 worklist=(list_ref.shape[1], lambda j: list_ref[i, j]),
-                return_raw=True,
+                return_raw=True, scratch=(best_sc, attrs_sc),
             )
             at = attrs.T
             o_t, d_t, c_t, r_t = _shade_inkernel_t(
@@ -1089,6 +1158,7 @@ def _bounce_kernel(
                 orig, dirn, remaining, None, 0.0, ops_ref, attr_ref,
                 tri_block, 0, debug=debug,
                 worklist=(list_ref.shape[1], lambda j: list_ref[i, j]),
+                scratch=(best_sc, attrs_sc),
             )
             orig, dirn, color, remaining = _shade_inkernel(
                 orig, dirn, color, remaining, t, n, mt, mc, gn, u_ref[:], parity
@@ -1125,9 +1195,13 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
             pl.BlockSpec((ray_tile, 16), lambda i, L, W: (i, 0)),
             pl.BlockSpec((ray_tile, 4), lambda i, L, W: (i, 0)),
             pl.BlockSpec((16, world.fused_ops.shape[1]), lambda i, L, W: (0, 0)),
-            pl.BlockSpec((16, world.attr_rows.shape[1]), lambda i, L, W: (0, 0)),
+            pl.BlockSpec(_attr_table(world).shape, lambda i, L, W: (0, 0)),
         ],
         out_specs=[pl.BlockSpec((ray_tile, 16), lambda i, L, W: (i, 0))],
+        scratch_shapes=[
+            pltpu.VMEM((ray_tile, 1), jnp.float32),
+            pltpu.VMEM((ray_tile, 16), jnp.float32),
+        ],
     )
     (out,) = pl.pallas_call(
         functools.partial(
@@ -1137,7 +1211,7 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
         out_shape=[jax.ShapeDtypeStruct((n, 16), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(nlive, block_list, pack, u, world.fused_ops, world.attr_rows)
+    )(nlive, block_list, pack, u, world.fused_ops, _attr_table(world))
     return out
 
 
@@ -1231,7 +1305,10 @@ def render_samples_binned(
             pack = _bounce_call(world, margin, pack, u_b, parity, ray_tile,
                                 debug=debug)
         contrib = jnp.sqrt(jnp.maximum(pack[:, 6:9], 0.0))
-        return acc + jnp.zeros((n_pad, 3), jnp.float32).at[pix].set(contrib)
+        # un-permute by inverse-permutation GATHER: the row scatter
+        # (.at[pix].set) measured 35 ms/sample on v5e vs ~11 for
+        # argsort + gather (prof_r4_binned2 `scatter` row)
+        return acc + contrib[jnp.argsort(pix)]
 
     acc = jax.lax.fori_loop(
         0, n_samples, body, jnp.zeros((n_pad, 3), jnp.float32)

@@ -179,94 +179,98 @@ def _fused_list_kernel(
     ops_ref,  # (16, 4*T) fused operand pack (block-grouped columns)
     t_out,  # (R, 1)
     idx_out,  # (R, 1) i32
+    best_sc,  # scratch VMEM (R, 1)
+    idx_sc,  # scratch VMEM (R, 1) i32
     *,
     tri_block: int,
     debug: bool = False,
 ):
-    """Worklist sweep with NO in-kernel vector->scalar syncs.
+    """Worklist sweep with scalar-predicated visits.
 
-    Every ``jnp.any(...)``-gated ``lax.cond`` costs a vector-reduce +
-    scalar-branch pipeline sync per visit — measured to cost as much as
-    the compute it can skip at this block size.  Here the per-tile visit
-    set is decided entirely OUTSIDE the kernel (XLA slab tests,
-    ``_tile_block_lists``); the in-kernel gate is a SCALAR ``blk >= 0``
-    SMEM test (Mosaic rejects dynamic trip counts in this loop shape with
-    "Not implemented: Lane broadcast", so the loop bound stays static).
+    The per-tile visit set is decided entirely OUTSIDE the kernel (XLA
+    slab tests, ``_tile_block_lists``); each entry is gated by a scalar
+    SMEM ``blk >= 0`` test via ``@pl.when`` with the running best held in
+    VMEM SCRATCH.  The r3 form used ``lax.cond`` with (R, 1) carries —
+    materializing the carries through every gated visit was measured
+    (prof_r4_binned2) to cost more than the visits themselves; predicated
+    scratch writes carry nothing.  (Mosaic rejects dynamic trip counts in
+    this loop shape with "Not implemented: Lane broadcast", so the loop
+    bound stays static.)
     """
     i = pl.program_id(0)
     del len_ref  # scalar-prefetched alongside list_ref; kept for layout
 
-    def visit(j, carry):
-        blk = list_ref[i, j]
-        return jax.lax.cond(
-            blk >= 0, lambda c: body(blk, c), lambda c: c, carry
-        )
-
-    def body(blk, carry):
-        best_t, best_idx = carry
-        cols = pl.ds(pl.multiple_of(blk * (4 * tri_block), 4 * tri_block), 4 * tri_block)
-        s = jnp.dot(
-            w_ref[:],
-            ops_ref[:, cols],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (R, 4*TB)
-        s_ab = s[:, 0:tri_block]
-        s_bc = s[:, tri_block : 2 * tri_block]
-        s_ca = s[:, 2 * tri_block : 3 * tri_block]
-        num2 = s[:, 3 * tri_block :]  # t * det (plane columns negated)
-
-        det = s_ab + s_bc + s_ca
-        if debug:
-            # explicit-mask form (PTAP_DEBUG=1): the regression
-            # guard for the IEEE reasoning below (utils/debug.py)
-            parallel = det == 0.0
-            inv_det = 1.0 / jnp.where(parallel, 1.0, det)
-        else:
-            # IEEE inf/NaN from det == 0 fail the range tests below,
-            # so no explicit parallel mask is needed (kernel is never
-            # differentiated; see megakernel._trace_inkernel)
-            inv_det = 1.0 / det
-        t = num2 * inv_det
-        u = s_ca * inv_det
-        v = s_ab * inv_det
-
-        # fused range checks — exact equivalent of the 5 epsilon tests
-        # (see megakernel._trace_inkernel for the reasoning)
-        m_lo = jnp.minimum(jnp.minimum(u, v), t)
-        m_hi = jnp.maximum(u, u + v)
-        accept = (m_lo >= -EPS) & (m_hi <= 1.0 + EPS)
-        if debug:
-            accept = accept & ~parallel
-        t_m = jnp.where(accept, t, F_MAX)
-
-        blk_min = jnp.min(t_m, axis=1, keepdims=True)  # (R, 1)
-        blk_arg = (
-            jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None]
-            + blk * tri_block
-        )
-
-        # lexicographic (t, idx): exact-t ties resolve to the lowest
-        # triangle index regardless of per-tile visit order, matching
-        # the dense kernel / MXU engine argmin-first semantics
-        improve = (blk_min < best_t) | (
-            (blk_min == best_t) & (blk_arg < best_idx) & (blk_min < F_MAX)
-        )
-        return (
-            jnp.where(improve, blk_min, best_t),
-            jnp.where(improve, blk_arg, best_idx),
-        )
-
     n = w_ref.shape[0]
+    best_sc[:] = jnp.full((n, 1), F_MAX, jnp.float32)
+    idx_sc[:] = jnp.full((n, 1), -1, jnp.int32)
+
+    def visit(j, _):
+        blk = list_ref[i, j]
+
+        @pl.when(blk >= 0)
+        def _():
+            cols = pl.ds(
+                pl.multiple_of(blk * (4 * tri_block), 4 * tri_block),
+                4 * tri_block,
+            )
+            s = jnp.dot(
+                w_ref[:],
+                ops_ref[:, cols],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (R, 4*TB)
+            s_ab = s[:, 0:tri_block]
+            s_bc = s[:, tri_block : 2 * tri_block]
+            s_ca = s[:, 2 * tri_block : 3 * tri_block]
+            num2 = s[:, 3 * tri_block :]  # t * det (plane columns negated)
+
+            det = s_ab + s_bc + s_ca
+            if debug:
+                # explicit-mask form (PTAP_DEBUG=1): the regression
+                # guard for the IEEE reasoning below (utils/debug.py)
+                parallel = det == 0.0
+                inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+            else:
+                # IEEE inf/NaN from det == 0 fail the range tests below,
+                # so no explicit parallel mask is needed (kernel is never
+                # differentiated; see megakernel._trace_inkernel)
+                inv_det = 1.0 / det
+            t = num2 * inv_det
+            u = s_ca * inv_det
+            v = s_ab * inv_det
+
+            # fused range checks — exact equivalent of the 5 epsilon tests
+            # (see megakernel._trace_inkernel for the reasoning)
+            m_lo = jnp.minimum(jnp.minimum(u, v), t)
+            m_hi = jnp.maximum(u, u + v)
+            accept = (m_lo >= -EPS) & (m_hi <= 1.0 + EPS)
+            if debug:
+                accept = accept & ~parallel
+            t_m = jnp.where(accept, t, F_MAX)
+
+            blk_min = jnp.min(t_m, axis=1, keepdims=True)  # (R, 1)
+            blk_arg = (
+                jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None]
+                + blk * tri_block
+            )
+
+            # lexicographic (t, idx): exact-t ties resolve to the lowest
+            # triangle index regardless of per-tile visit order, matching
+            # the dense kernel / MXU engine argmin-first semantics
+            best_t = best_sc[:]
+            best_idx = idx_sc[:]
+            improve = (blk_min < best_t) | (
+                (blk_min == best_t) & (blk_arg < best_idx) & (blk_min < F_MAX)
+            )
+            best_sc[:] = jnp.where(improve, blk_min, best_t)
+            idx_sc[:] = jnp.where(improve, blk_arg, best_idx)
+
+        return 0
+
     nb = list_ref.shape[1]
-    best_t, best_idx = jax.lax.fori_loop(
-        0,
-        nb,
-        visit,
-        (jnp.full((n, 1), F_MAX, jnp.float32), jnp.full((n, 1), -1, jnp.int32)),
-    )
-    t_out[:] = best_t
-    idx_out[:] = best_idx
+    jax.lax.fori_loop(0, nb, visit, 0)
+    t_out[:] = best_sc[:]
+    idx_out[:] = idx_sc[:]
 
 
 # Above this many blocks the per-ray slab pass materializes (N, nb, 3)
@@ -408,6 +412,10 @@ def nearest_hit_fused(
         out_specs=[
             pl.BlockSpec((ray_tile, 1), lambda i, L, W: (i, 0)),
             pl.BlockSpec((ray_tile, 1), lambda i, L, W: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ray_tile, 1), jnp.float32),
+            pltpu.VMEM((ray_tile, 1), jnp.int32),
         ],
     )
     t_out, idx_out = pl.pallas_call(
