@@ -76,9 +76,12 @@ def main() -> None:
 
     from pathtracerap_tpu.diff.grad import extract_params, make_train_step
 
-    # 2 samples: the backward sweep is mat_color scatter-add dominated per
-    # sample, so larger spp does not amortize (measured 5.72 @ 2 vs 5.46 @ 8)
-    bwd_spp = 2
+    # 8 samples: with the one-hot material replay (diff/fast.py r4) the
+    # step is megakernel-forward dominated, so spp amortizes the fixed
+    # dispatch cost exactly like the forward bench (the r3 note about the
+    # scatter-dominated backward not amortizing is obsolete — the scatter
+    # is gone)
+    bwd_spp = 8
     step = make_train_step(
         scene, cfg.camera, resolution, bwd_spp, max_bounces, tile_size=8192,
         engine="fused",

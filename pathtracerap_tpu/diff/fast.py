@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from .. import constants
 from ..ops.intersect import HitRecord
 from ..ops.math import normalize
-from ..scene.types import WorldTriangles
+from ..scene.types import MaterialType, WorldTriangles
 
 F_MAX = constants.FLOAT_MAX
 
@@ -105,6 +105,55 @@ def trace_pallas_diff(
     return hit_from_index(world, ro, rd_n, idx, hit)
 
 
+def replay_color_only(
+    world: WorldTriangles, idxs: jax.Array, max_bounces: int
+) -> jax.Array:
+    """Differentiable replay of ONE sample's contribution from the frozen
+    per-bounce hit topology, tracking ONLY the throughput color.
+
+    In parity mode the reference's color is a pure product of surface
+    albedos over the path (the cosine factor is commented out,
+    Renderer.cpp:438) — directions, hit points and normals never touch it.
+    So when only material parameters are being optimized, the replay needs
+    just (hit?, material type, material color) per bounce: two integer
+    gathers and the one-hot color matmul — no v0/e1/e2/normal row gathers
+    (measured to dominate the full replay on v5e, scripts/prof_r4_diff.py)
+    and no uniforms.  Mask algebra mirrors :func:`render.shade.shade`
+    exactly; the returned values are bit-identical to the full replay's
+    contribution.
+    """
+    n = idxs.shape[0]
+    color = jnp.ones((n, 3), jnp.float32)
+    remaining = jnp.full((n,), max_bounces, jnp.int32)
+    for b in range(max_bounces):
+        ib = idxs[:, b].astype(jnp.int32)
+        hit = ib > 0
+        tri = jnp.maximum(ib - 1, 0)
+        mt = jax.lax.stop_gradient(world.mat_type[tri])
+        slot = jax.lax.stop_gradient(world.tri_model[tri])
+        onehot = jax.nn.one_hot(slot, world.mat_table.shape[0], dtype=jnp.float32)
+        mc = jnp.dot(onehot, world.mat_table, preferred_element_type=jnp.float32)
+        mc = jnp.where(hit[:, None], mc, 0.0)
+
+        alive = remaining > 0
+        M = MaterialType
+        scatters = (
+            (mt == int(M.DIFFUSE)) | (mt == int(M.METAL))
+            | (mt == int(M.COAT)) | (mt == int(M.REFLECTIVE))
+        )
+        is_emissive = mt == int(M.EMISSIVE)
+        shaded = alive & hit
+        upd_col = shaded & (scatters | is_emissive)
+        color = jnp.where(upd_col[:, None], color * mc, color)
+        missed = alive & ~hit
+        color = jnp.where(
+            missed[:, None], color * constants.MISS_ATTENUATION, color
+        )
+        kill = missed | (shaded & is_emissive)
+        remaining = jnp.where(kill, 0, jnp.where(alive, remaining - 1, remaining))
+    return jnp.sqrt(jnp.maximum(color, 0.0))
+
+
 def render_samples_fused_diff(
     world: WorldTriangles,
     ro: jax.Array,
@@ -115,6 +164,7 @@ def render_samples_fused_diff(
     sample_offset=0,
     parity: bool = True,
     tile_base=0,
+    color_only: bool = False,
 ) -> jax.Array:
     """Differentiable whole-sample render at megakernel forward speed.
 
@@ -205,6 +255,8 @@ def render_samples_fused_diff(
             max_bounces, parity, use_primary=True, emit_idx=True,
         )
         idxs = jax.lax.stop_gradient(idxs)
+        if color_only and parity:
+            return acc + replay_color_only(world, idxs, max_bounces)
         return acc + replay(world, idxs, u)
 
     acc = jax.lax.fori_loop(

@@ -95,11 +95,17 @@ def render_for_params(
             ro, rd = generate_rays(camera, resolution)
         slab = 64 * 8192
         n = ro.shape[0]
+        # material-only parity training never reads geometry in the color
+        # path — use the color-only replay (diff/fast.replay_color_only),
+        # which skips the v0/e1/e2/normal row gathers that dominate the
+        # full replay (scripts/prof_r4_diff.py)
+        color_only = parity and set(params.keys()) <= {"mat_color"}
         parts = [
             render_samples_fused_diff(
                 world, ro[s0:s0 + slab], rd[s0:s0 + slab], key,
                 n_samples=n_samples, max_bounces=max_bounces,
                 parity=parity, tile_base=tile_base + s0 // 8192,
+                color_only=color_only,
             )
             for s0 in range(0, n, slab)
         ]
