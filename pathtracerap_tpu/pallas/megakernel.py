@@ -635,6 +635,69 @@ def _trace_inkernel(
             jnp.any(box_hit), lambda c: visit_block(blk, c), lambda c: c, carry
         )
 
+    if scratch is not None:
+        # Scratch-resident best + @pl.when for the CONDLESS sweep: every
+        # block's matmul+accept runs unconditionally, but argmin+select
+        # update the scratch under predication instead of a
+        # carry-materializing lax.cond (the worklist kernels' r4 win,
+        # measured ~3 us/visit of pure cond-carry overhead).
+        best_ref, attrs_ref = scratch
+        best_ref[:] = jnp.full((r, 1), F_MAX, jnp.float32)
+        attrs_ref[:] = jnp.zeros((r, 16), jnp.float32)
+
+        def visit_sweep(blk, _):
+            t_m, blk_min = compute_blk(blk)
+            improve_pre = blk_min < best_ref[:]
+
+            def do_update():
+                new_attrs = select_attrs(blk, t_m)
+                best1 = best_ref[:]
+                attrs1 = attrs_ref[:]
+                improve = blk_min < best1
+                best_ref[:] = jnp.where(improve, blk_min, best1)
+                attrs_ref[:] = jnp.where(improve, new_attrs, attrs1)
+
+            if SELECT_GATE:
+                pl.when(jnp.any(improve_pre))(do_update)
+            else:
+                do_update()
+            return 0
+
+        def visit_sweep_gated(blk, _):
+            # AABB + distance pre-gate for many-block packs (the adaptive
+            # gating of the 32k-triangle fused limit), scratch edition
+            bb_min = jnp.stack(
+                [aabb_ref[blk, 0], aabb_ref[blk, 1], aabb_ref[blk, 2]]
+            )
+            bb_max = jnp.stack(
+                [aabb_ref[blk, 3], aabb_ref[blk, 4], aabb_ref[blk, 5]]
+            )
+            lo = (bb_min[None, :] - orig) * inv_d
+            hi = (bb_max[None, :] - orig) * inv_d
+            tmin = jnp.max(jnp.minimum(lo, hi), axis=1, keepdims=True)
+            tmax = jnp.min(jnp.maximum(lo, hi), axis=1, keepdims=True)
+            box_hit = (
+                (tmax >= -margin)
+                & (tmin <= tmax + margin)
+                & (tmin - margin <= best_ref[:])
+                & alive
+            )
+            @pl.when(jnp.any(box_hit))
+            def _():
+                visit_sweep(blk, None)
+
+            return 0
+
+        jax.lax.fori_loop(
+            0, n_blocks, visit_sweep_gated if gated else visit_sweep, 0,
+            unroll=n_blocks <= 8,
+        )
+        best_t, attrs = best_ref[:], attrs_ref[:]
+        if return_raw:
+            return best_t, attrs
+        return (best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7],
+                attrs[:, 7:10], attrs[:, 10:11])
+
     init = (jnp.full((r, 1), F_MAX, jnp.float32),
             jnp.zeros((r, 16), jnp.float32))
     if worklist is not None:
@@ -676,8 +739,7 @@ def _megakernel(
     ops_ref,  # (16, 4*T)
     attr_ref,  # (16, T)
     out_ref,  # (R, 4)
-    idx_ref=None,  # (R, _idx_width(B)) per-bounce hit idx+1, 0 = miss (emit_idx only)
-    *,
+    *rest,  # [idx_ref (emit_idx only)], best_sc (R, 1), attrs_sc (R, 16)
     tri_block: int,
     n_blocks: int,
     max_bounces: int,
@@ -687,6 +749,11 @@ def _megakernel(
     debug: bool = False,
     sample_batch: bool = False,
 ):
+    if emit_idx:
+        idx_ref, best_sc, attrs_sc = rest
+    else:
+        (best_sc, attrs_sc) = rest
+        idx_ref = None
     r = w_ref.shape[0]
     margin = margin_ref[0]
     orig = w_ref[:, 6:9]
@@ -720,6 +787,12 @@ def _megakernel(
                 gn = prim_ref[:, 8:11]
                 idx1 = prim_ref[:, 11:12]
         elif shade_t:
+            # sweep mode stays on the lax.cond/carry form: the scratch
+            # variant measured 10.85 vs 11.04 Mrays/s here (the per-visit
+            # scratch read-modify-write outweighs the occasional gated
+            # cond's carry cost when every block is visited anyway);
+            # scratch only wins where visits themselves are gated
+            # (worklist kernels)
             best_t, attrs = _trace_inkernel(
                 orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
                 tri_block, n_blocks, debug=debug, return_raw=True,
@@ -824,6 +897,10 @@ def _sample_pallas_call(
             pl.BlockSpec(_attr_table(world).shape, lambda i, A, M: (0, 0)),
         ],
         out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((ray_tile, 1), jnp.float32),
+            pltpu.VMEM((ray_tile, 16), jnp.float32),
+        ],
     )
     outs = pl.pallas_call(
         functools.partial(
@@ -894,6 +971,10 @@ def _sample_pallas_call_batched(
             ),
         ],
         out_specs=[pl.BlockSpec((ray_tile, 4), lambda i, s, A, M: (i, 0))],
+        scratch_shapes=[
+            pltpu.VMEM((ray_tile, 1), jnp.float32),
+            pltpu.VMEM((ray_tile, 16), jnp.float32),
+        ],
     )
     (out,) = pl.pallas_call(
         functools.partial(
