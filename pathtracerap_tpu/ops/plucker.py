@@ -181,7 +181,12 @@ def bake_world_triangles(
     # ~160k triangles (42 MB pack + 10 MB attrs; v5e has 128 MB physical).
     # Beyond that, big scenes fall back to the dense blocked-DMA kernel
     # (fused_ops=None path).
-    if fused_tile is not None and tw > 160256 and ring_shards is None:
+    # r4: the worklist kernels stream per-visit slabs from HBM above ~313
+    # blocks (megakernel.STREAM_BLOCKS), so the pack no longer needs to fit
+    # VMEM — the r3 cap of 160k triangles becomes a ~2M-triangle HBM
+    # budget cap (pack 512 MB + attrs 128 MB).  Beyond it, the dense
+    # blocked-DMA kernel remains the fallback.
+    if fused_tile is not None and tw > 2_097_152 and ring_shards is None:
         fused_tile = None
     if fused_tile is not None:
         assert fused_tile % pad_to == 0, (fused_tile, pad_to)

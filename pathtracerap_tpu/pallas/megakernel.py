@@ -105,6 +105,13 @@ RESORT_EVERY = int(_os.environ.get("PTAP_RESORT_EVERY", "1"))
 # relayouts per bounce at the trace boundary.  A/B via PTAP_SHADE_T.
 SHADE_T = _os.environ.get("PTAP_SHADE_T", "1") == "1"
 
+# Above this many 512-triangle blocks the worklist kernels stop holding the
+# operand pack whole in VMEM and stream per-visit slabs from HBM with
+# double-buffered DMAs (see _trace_inkernel's stream mode) — the pack VMEM
+# budget (~160k triangles / ~313 blocks in 100 MB) stops being a scene-size
+# limit.  Override for testing via PTAP_STREAM_BLOCKS.
+STREAM_BLOCKS = int(_os.environ.get("PTAP_STREAM_BLOCKS", "313"))
+
 
 def _mm(a, b):
     """Matmul at the configured traversal precision (see PRECISION_MODE)."""
@@ -410,7 +417,7 @@ def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity: b
 def _trace_inkernel(
     orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
     tri_block: int, n_blocks: int, debug: bool = False, worklist=None,
-    return_raw: bool = False, scratch=None,
+    return_raw: bool = False, scratch=None, stream=None,
 ):
     """Nearest hit + attribute select for the live wavefront, all in VMEM.
 
@@ -456,12 +463,19 @@ def _trace_inkernel(
 
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (r, tri_block), 1)
 
-    def compute_blk(blk):
-        """The per-block traversal math: (t_m (R, TB), blk_min (R, 1))."""
-        cols = pl.ds(
-            pl.multiple_of(blk * (4 * tri_block), 4 * tri_block), 4 * tri_block
-        )
-        s = _mm(w16, ops_ref[:, cols])  # (R, 4*TB)
+    def compute_blk(blk, ops_slab=None):
+        """The per-block traversal math: (t_m (R, TB), blk_min (R, 1)).
+
+        ``ops_slab`` (streamed mode) is the block's whole (16, 4*TB)
+        operand slab already DMA'd into VMEM; otherwise it is sliced out
+        of the VMEM-resident pack."""
+        if ops_slab is None:
+            cols = pl.ds(
+                pl.multiple_of(blk * (4 * tri_block), 4 * tri_block),
+                4 * tri_block,
+            )
+            ops_slab = ops_ref[:, cols]
+        s = _mm(w16, ops_slab)  # (R, 4*TB)
         s_ab = s[:, 0:tri_block]
         s_bc = s[:, tri_block : 2 * tri_block]
         s_ca = s[:, 2 * tri_block : 3 * tri_block]
@@ -498,7 +512,7 @@ def _trace_inkernel(
         blk_min = jnp.min(t_m, axis=1, keepdims=True)
         return t_m, blk_min
 
-    def select_attrs(blk, t_m):
+    def select_attrs(blk, t_m, attr_slab=None):
         """Winning attributes of this block: argmin one-hot contracted
         against the block's (16, TB) attr slab in one HIGHEST-precision
         MXU matmul (attribute values pass through exactly — the one-hot
@@ -509,8 +523,10 @@ def _trace_inkernel(
         MISCOMPILES under Mosaic — 72% of lanes read wrong values on a
         v5e (r4 measurement); see PERF_NOTES "negative results"."""
         local_arg = jnp.argmin(t_m, axis=1).astype(jnp.int32)[:, None]
-        acols = pl.ds(pl.multiple_of(blk * tri_block, tri_block), tri_block)
-        slab = attr_ref[:, acols]  # (16, TB) — lane-dim slice: dynamic-safe
+        if attr_slab is None:
+            acols = pl.ds(pl.multiple_of(blk * tri_block, tri_block), tri_block)
+            attr_slab = attr_ref[:, acols]  # (16, TB) — lane slice: dynamic-safe
+        slab = attr_slab
         onehot = (col_iota == local_arg).astype(jnp.float32)  # (R, TB)
         return jax.lax.dot_general(
             onehot, slab,
@@ -532,19 +548,73 @@ def _trace_inkernel(
         best_ref[:] = jnp.full((r, 1), F_MAX, jnp.float32)
         attrs_ref[:] = jnp.zeros((r, 16), jnp.float32)
 
+        if stream is not None:
+            # Streamed mode: the operand pack lives in HBM; each worklist
+            # entry's (16, 4*TB) ops + (16, TB) attr slabs are DMA'd into
+            # double-buffered VMEM scratch, prefetching entry j+1 while
+            # entry j computes.  Lifts the whole-pack VMEM residency limit
+            # (~160k triangles) entirely — the worklist engine now scales
+            # to any pack HBM can hold, and per-visit DMA (~160 KB, ~us)
+            # hides behind the ~8 us visit.
+            ops_hbm, attr_hbm, ops_buf, attr_buf, sem_o, sem_a = stream
+
+            def dma_pair(blk, slot):
+                return (
+                    pltpu.make_async_copy(
+                        ops_hbm.at[
+                            :, pl.ds(blk * (4 * tri_block), 4 * tri_block)
+                        ],
+                        ops_buf.at[slot],
+                        sem_o.at[slot],
+                    ),
+                    pltpu.make_async_copy(
+                        attr_hbm.at[:, pl.ds(blk * tri_block, tri_block)],
+                        attr_buf.at[slot],
+                        sem_a.at[slot],
+                    ),
+                )
+
+            first = list_at(0)
+
+            @pl.when(first >= 0)
+            def _():
+                a, b = dma_pair(first, 0)
+                a.start()
+                b.start()
+
         def visit_sc(j, _):
             blk = list_at(j)
 
             @pl.when(blk >= 0)
             def _():
-                t_m, blk_min = compute_blk(blk)
+                if stream is not None:
+                    slot = jax.lax.rem(j, 2)
+                    a, b = dma_pair(blk, slot)
+                    a.wait()
+                    b.wait()
+                    # prefetch the next valid entry into the other slot
+                    # (worklists are -1-padded at the END, so entry j
+                    # valid implies all earlier entries were valid)
+                    nxt = list_at(jnp.minimum(j + 1, nb_w - 1))
+
+                    @pl.when((j + 1 < nb_w) & (nxt >= 0))
+                    def _():
+                        a2, b2 = dma_pair(nxt, 1 - slot)
+                        a2.start()
+                        b2.start()
+
+                    t_m, blk_min = compute_blk(blk, ops_slab=ops_buf[slot])
+                    attr_slab = attr_buf[slot]
+                else:
+                    t_m, blk_min = compute_blk(blk)
+                    attr_slab = None
                 best0 = best_ref[:]
                 improve_pre = (blk_min < best0) | (
                     (blk_min == best0) & (blk_min < F_MAX)
                 )
 
                 def do_update():
-                    new_attrs = select_attrs(blk, t_m)
+                    new_attrs = select_attrs(blk, t_m, attr_slab=attr_slab)
                     best1 = best_ref[:]
                     attrs1 = attrs_ref[:]
                     improve = (blk_min < best1) | (
@@ -1184,15 +1254,16 @@ def _bounce_kernel(
     list_ref,  # SMEM (nt, nb) i32 — per-tile tmin-sorted block worklist
     st_ref,  # (R, 16) [orig(0:3), dir(3:6), color(6:9), remaining(9), 0...]
     u_ref,  # (R, 4)
-    ops_ref,  # (16, 4*T)
-    attr_ref,  # (16|48, T)
+    ops_ref,  # (16, 4*T) — VMEM-resident, or HBM (ANY) when streamed
+    attr_ref,  # (16, T) — ditto
     out_ref,  # (R, 16)
     best_sc,  # scratch VMEM (R, 1) — worklist best-t (see _trace_inkernel)
     attrs_sc,  # scratch VMEM (R, 16)
-    *,
+    *stream_scratch,  # streamed only: ops_buf, attr_buf, sem_ops, sem_attr
     tri_block: int,
     parity: bool,
     debug: bool = False,
+    streamed: bool = False,
 ):
     """One binned wavefront bounce: worklist trace + shade.
 
@@ -1204,8 +1275,17 @@ def _bounce_kernel(
     fraction 0.89 -> 0.32 over bounces 1-4, prof_r4_binned): the per-tile
     ``nlive`` scalar skips trace AND shade for such tiles with a plain
     state pass-through — the wavefront analog of the reference's shrinking
-    compacted launches (Renderer.cpp:628-634)."""
+    compacted launches (Renderer.cpp:628-634).
+
+    ``streamed=True`` keeps the operand pack in HBM and double-buffers
+    per-visit slab DMAs through the extra scratch (see _trace_inkernel's
+    stream mode) — the route for scenes above the VMEM pack limit."""
     i = pl.program_id(0)
+    if streamed:
+        ops_buf, attr_buf, sem_o, sem_a = stream_scratch
+        stream = (ops_ref, attr_ref, ops_buf, attr_buf, sem_o, sem_a)
+    else:
+        stream = None
 
     @pl.when(nlive_ref[i] == 0)
     def _():
@@ -1223,7 +1303,7 @@ def _bounce_kernel(
                 orig, dirn, remaining, None, 0.0, ops_ref, attr_ref,
                 tri_block, 0, debug=debug,
                 worklist=(list_ref.shape[1], lambda j: list_ref[i, j]),
-                return_raw=True, scratch=(best_sc, attrs_sc),
+                return_raw=True, scratch=(best_sc, attrs_sc), stream=stream,
             )
             at = attrs.T
             o_t, d_t, c_t, r_t = _shade_inkernel_t(
@@ -1239,7 +1319,7 @@ def _bounce_kernel(
                 orig, dirn, remaining, None, 0.0, ops_ref, attr_ref,
                 tri_block, 0, debug=debug,
                 worklist=(list_ref.shape[1], lambda j: list_ref[i, j]),
-                scratch=(best_sc, attrs_sc),
+                scratch=(best_sc, attrs_sc), stream=stream,
             )
             orig, dirn, color, remaining = _shade_inkernel(
                 orig, dirn, color, remaining, t, n, mt, mc, gn, u_ref[:], parity
@@ -1251,11 +1331,23 @@ def _bounce_kernel(
 
 
 def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
-    from .trace import _tile_block_lists
+    from .trace import SMEM_LIST_INTS, _tile_block_lists
 
     n = pack.shape[0]
     tri_block = world.tri_block
     nt = n // ray_tile
+
+    # bound the (nt, nb) scalar-prefetch SMEM worklists by chunking rows
+    nb_all = world.block_aabb.shape[0]
+    if nt * nb_all > SMEM_LIST_INTS:
+        max_tiles = max(1, SMEM_LIST_INTS // nb_all)
+        chunk = max_tiles * ray_tile
+        outs = [
+            _bounce_call(world, margin, pack[s0:s0 + chunk],
+                         u[s0:s0 + chunk], parity, ray_tile, debug=debug)
+            for s0 in range(0, n, chunk)
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     orig = pack[:, 0:3]
     d_n = pack[:, 3:6] * jax.lax.rsqrt(
@@ -1269,24 +1361,44 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
         alive_f.reshape(nt, ray_tile).astype(jnp.int32), axis=1
     )
 
+    nb = world.block_aabb.shape[0]
+    streamed = nb > STREAM_BLOCKS
+    scratch_shapes = [
+        pltpu.VMEM((ray_tile, 1), jnp.float32),
+        pltpu.VMEM((ray_tile, 16), jnp.float32),
+    ]
+    if streamed:
+        # pack stays in HBM (ANY); per-visit slabs ride double-buffered DMAs
+        ops_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        attr_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch_shapes += [
+            pltpu.VMEM((2, 16, 4 * tri_block), jnp.float32),
+            pltpu.VMEM((2, 16, tri_block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        ops_spec = pl.BlockSpec(
+            (16, world.fused_ops.shape[1]), lambda i, L, W: (0, 0)
+        )
+        attr_spec = pl.BlockSpec(_attr_table(world).shape, lambda i, L, W: (0, 0))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((ray_tile, 16), lambda i, L, W: (i, 0)),
             pl.BlockSpec((ray_tile, 4), lambda i, L, W: (i, 0)),
-            pl.BlockSpec((16, world.fused_ops.shape[1]), lambda i, L, W: (0, 0)),
-            pl.BlockSpec(_attr_table(world).shape, lambda i, L, W: (0, 0)),
+            ops_spec,
+            attr_spec,
         ],
         out_specs=[pl.BlockSpec((ray_tile, 16), lambda i, L, W: (i, 0))],
-        scratch_shapes=[
-            pltpu.VMEM((ray_tile, 1), jnp.float32),
-            pltpu.VMEM((ray_tile, 16), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     (out,) = pl.pallas_call(
         functools.partial(
-            _bounce_kernel, tri_block=tri_block, parity=parity, debug=debug
+            _bounce_kernel, tri_block=tri_block, parity=parity, debug=debug,
+            streamed=streamed,
         ),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n, 16), jnp.float32)],

@@ -37,6 +37,10 @@ EPS = constants.EPSILON
 RAY_TILE = 512
 TRI_BLOCK = 1024
 
+# Scalar-prefetch SMEM budget for (nt, nb) i32 worklists (~1 MB); callers
+# chunk their wavefronts so nt * nb stays under this.
+SMEM_LIST_INTS = 250_000
+
 
 def _nearest_hit_kernel(
     w_ref,  # (R, 8)   [dir, orig x dir, 0, 0]
@@ -176,14 +180,15 @@ def _fused_list_kernel(
     len_ref,  # SMEM (nt,) i32 — per-tile worklist length
     list_ref,  # SMEM (nt, nb) i32 — per-tile block worklist, -1 padded
     w_ref,  # (R, 16)  [dir, orig x dir, orig, -1, alive, 0...]
-    ops_ref,  # (16, 4*T) fused operand pack (block-grouped columns)
+    ops_ref,  # (16, 4*T) fused operand pack — VMEM, or HBM (ANY) if streamed
     t_out,  # (R, 1)
     idx_out,  # (R, 1) i32
     best_sc,  # scratch VMEM (R, 1)
     idx_sc,  # scratch VMEM (R, 1) i32
-    *,
+    *stream_scratch,  # streamed only: ops_buf (2, 16, 4*TB), sem (2,)
     tri_block: int,
     debug: bool = False,
+    streamed: bool = False,
 ):
     """Worklist sweep with scalar-predicated visits.
 
@@ -203,19 +208,51 @@ def _fused_list_kernel(
     n = w_ref.shape[0]
     best_sc[:] = jnp.full((n, 1), F_MAX, jnp.float32)
     idx_sc[:] = jnp.full((n, 1), -1, jnp.int32)
+    nb = list_ref.shape[1]
+
+    if streamed:
+        # HBM-resident pack: DMA each visited block's (16, 4*TB) slab into
+        # a double-buffered scratch, prefetching entry j+1 during entry j
+        # (see megakernel._trace_inkernel stream mode)
+        ops_buf, sem = stream_scratch
+
+        def dma_blk(blk, slot):
+            return pltpu.make_async_copy(
+                ops_ref.at[:, pl.ds(blk * (4 * tri_block), 4 * tri_block)],
+                ops_buf.at[slot],
+                sem.at[slot],
+            )
+
+        first = list_ref[i, 0]
+
+        @pl.when(first >= 0)
+        def _():
+            dma_blk(first, 0).start()
 
     def visit(j, _):
         blk = list_ref[i, j]
 
         @pl.when(blk >= 0)
         def _():
-            cols = pl.ds(
-                pl.multiple_of(blk * (4 * tri_block), 4 * tri_block),
-                4 * tri_block,
-            )
+            if streamed:
+                slot = jax.lax.rem(j, 2)
+                dma_blk(blk, slot).wait()
+                nxt = list_ref[i, jnp.minimum(j + 1, nb - 1)]
+
+                @pl.when((j + 1 < nb) & (nxt >= 0))
+                def _():
+                    dma_blk(nxt, 1 - slot).start()
+
+                ops_slab = ops_buf[slot]
+            else:
+                cols = pl.ds(
+                    pl.multiple_of(blk * (4 * tri_block), 4 * tri_block),
+                    4 * tri_block,
+                )
+                ops_slab = ops_ref[:, cols]
             s = jnp.dot(
                 w_ref[:],
-                ops_ref[:, cols],
+                ops_slab,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )  # (R, 4*TB)
@@ -267,7 +304,6 @@ def _fused_list_kernel(
 
         return 0
 
-    nb = list_ref.shape[1]
     jax.lax.fori_loop(0, nb, visit, 0)
     t_out[:] = best_sc[:]
     idx_out[:] = idx_sc[:]
@@ -400,27 +436,40 @@ def nearest_hit_fused(
     assert block_list.shape == (nt, nb), (block_list.shape, nt, nb)
     lens = jnp.sum((block_list >= 0).astype(jnp.int32), axis=1)
 
+    from .megakernel import STREAM_BLOCKS
+
+    streamed = nb > STREAM_BLOCKS
+    scratch_shapes = [
+        pltpu.VMEM((ray_tile, 1), jnp.float32),
+        pltpu.VMEM((ray_tile, 1), jnp.int32),
+    ]
+    if streamed:
+        ops_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch_shapes += [
+            pltpu.VMEM((2, 16, 4 * tri_block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        # whole pack VMEM-resident, DMA'd once
+        ops_spec = pl.BlockSpec((16, fused_ops.shape[1]), lambda i, L, W: (0, 0))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((ray_tile, 16), lambda i, L, W: (i, 0)),
-            pl.BlockSpec(
-                (16, fused_ops.shape[1]), lambda i, L, W: (0, 0)
-            ),  # whole pack VMEM-resident, DMA'd once
+            ops_spec,
         ],
         out_specs=[
             pl.BlockSpec((ray_tile, 1), lambda i, L, W: (i, 0)),
             pl.BlockSpec((ray_tile, 1), lambda i, L, W: (i, 0)),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((ray_tile, 1), jnp.float32),
-            pltpu.VMEM((ray_tile, 1), jnp.int32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     t_out, idx_out = pl.pallas_call(
         functools.partial(
-            _fused_list_kernel, tri_block=tri_block, debug=debug
+            _fused_list_kernel, tri_block=tri_block, debug=debug,
+            streamed=streamed,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -548,18 +597,35 @@ def trace_pallas(
 
     if cull and world.fused_ops is not None:
         margin = _slab_margin(world.block_aabb)
-        block_list = _tile_block_lists(
-            world.block_aabb, ro_p, rd_p, alive_p, ray_tile, margin
-        )
         neg1 = jnp.full((ro_p.shape[0], 1), -1.0, jnp.float32)
         w16 = jnp.concatenate(
             [rd_p, m, ro_p, neg1, alive_p, jnp.zeros((ro_p.shape[0], 5), jnp.float32)],
             axis=-1,
         )
-        t, idx = nearest_hit_fused(
-            w16, world.fused_ops, world.block_aabb, block_list, margin,
-            ray_tile=ray_tile, debug=debug, tri_block=world.tri_block or None,
-        )
+        # The per-tile worklists ride scalar-prefetch SMEM ((nt, nb) i32,
+        # ~1 MB budget): at large block counts the wavefront is processed
+        # in row chunks so nt * nb stays bounded.
+        nb = world.block_aabb.shape[0]
+        n_pad = ro_p.shape[0]
+        max_tiles = max(1, SMEM_LIST_INTS // max(nb, 1))
+        chunk = min(n_pad, max_tiles * ray_tile)
+        chunk -= chunk % ray_tile
+        ts, idxs = [], []
+        for s0 in range(0, n_pad, chunk):
+            sl = slice(s0, min(s0 + chunk, n_pad))
+            block_list = _tile_block_lists(
+                world.block_aabb, ro_p[sl], rd_p[sl], alive_p[sl],
+                ray_tile, margin,
+            )
+            t_c, idx_c = nearest_hit_fused(
+                w16[sl], world.fused_ops, world.block_aabb, block_list,
+                margin, ray_tile=ray_tile, debug=debug,
+                tri_block=world.tri_block or None,
+            )
+            ts.append(t_c)
+            idxs.append(idx_c)
+        t = ts[0] if len(ts) == 1 else jnp.concatenate(ts)
+        idx = idxs[0] if len(idxs) == 1 else jnp.concatenate(idxs)
     else:
         zeros2 = jnp.zeros((ro_p.shape[0], 2), jnp.float32)
         w = jnp.concatenate([rd_p, m, zeros2], axis=-1)

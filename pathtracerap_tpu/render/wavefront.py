@@ -39,8 +39,9 @@ DEFAULT_TILE = 8192
 def effective_engine(engine: str, world, jitter: bool) -> str:
     """Resolve the megakernel engine choice against the baked world.
 
-    * no fused pack (scene above the VMEM limit) -> per-bounce blocked-DMA
-      ``pallas`` engine;
+    * no fused pack (scene above the ~2M-triangle pack budget; below that
+      the worklist kernels stream HBM slabs per visit, so VMEM no longer
+      caps scene size) -> per-bounce blocked-DMA ``pallas`` engine;
     * ``binned`` with the jittered quality camera -> ``fused`` (binning
       relies on the deterministic primary-hit cache);
     * ``fused`` on a many-block scene -> ``binned``: the whole-sample

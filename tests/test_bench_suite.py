@@ -49,10 +49,17 @@ def test_engine_routing_by_scene_size():
     assert effective_engine("fused", world, jitter=False) == "binned"
     assert effective_engine("fused", world, jitter=True) == "fused"
 
-    scene2 = build_highpoly_scene(subdiv=224, use_asset=False)  # ~200k tris > 160k pack limit
+    # ~200k tris: above the old r3 VMEM pack cap — since r4 the pack is
+    # kept (HBM-streamed worklist kernels) and the scene routes to the
+    # binned engine, whose kernels stream per-visit slabs above
+    # STREAM_BLOCKS; the dense fallback now starts at ~2M triangles
+    from pathtracerap_tpu.pallas.megakernel import STREAM_BLOCKS
+
+    scene2 = build_highpoly_scene(subdiv=224, use_asset=False)
     world2 = jax.jit(bake_world_triangles)(scene2.to_device())
-    assert world2.fused_ops is None
-    assert effective_engine("fused", world2, jitter=False) == "pallas"
+    assert world2.fused_ops is not None
+    assert world2.block_aabb.shape[0] > STREAM_BLOCKS
+    assert effective_engine("fused", world2, jitter=False) == "binned"
 
 
 def test_highpoly_regime_renders_on_binned_worklists():

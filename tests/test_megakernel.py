@@ -161,3 +161,36 @@ def test_mosaic_vs_interpret_exactness(scene):
         b = np.asarray(render_samples_fused(world, ro, rd, key, 1, 3))
     diff = np.abs(a - b)
     assert diff.max() <= 2e-5 * max(1.0, np.abs(a).max()), diff.max()
+
+
+def test_streamed_worklist_kernels_match(scene, monkeypatch):
+    """r4: above STREAM_BLOCKS the worklist kernels keep the operand pack
+    in HBM and double-buffer per-visit slab DMAs.  Forcing the threshold
+    to 2 on the reference scene (6 real blocks) streams every visit; with
+    the SMEM worklist budget also shrunk, the row-chunking path runs too.
+    Results must be bit-identical to the VMEM-resident kernels."""
+    import pathtracerap_tpu.pallas.megakernel as MK
+    import pathtracerap_tpu.pallas.trace as TR
+    from pathtracerap_tpu.ops.plucker import bake_world_triangles, trace_mxu
+    from pathtracerap_tpu.pallas.trace import trace_pallas
+    from pathtracerap_tpu.render.camera import generate_rays
+    from pathtracerap_tpu.scene.build import build_reference_scene
+
+    import jax
+
+    ref = build_reference_scene().to_device()
+    world = jax.jit(bake_world_triangles)(ref)
+    ro, rd = generate_rays(RenderConfig().camera, (32, 16))
+    key = jax.random.PRNGKey(7)
+
+    f_base = np.asarray(MK.render_samples_fused(
+        world, ro, rd, key, n_samples=2, max_bounces=3))
+
+    monkeypatch.setattr(MK, "STREAM_BLOCKS", 2)
+    monkeypatch.setattr(TR, "SMEM_LIST_INTS", 16)
+    h_stream = trace_pallas(world, ro, rd)
+    h_ref = trace_mxu(world, ro, rd)
+    np.testing.assert_array_equal(np.asarray(h_stream.t), np.asarray(h_ref.t))
+    b_stream = np.asarray(MK.render_samples_binned(
+        world, ro, rd, key, n_samples=2, max_bounces=3))
+    np.testing.assert_allclose(b_stream, f_base, atol=1e-6)
