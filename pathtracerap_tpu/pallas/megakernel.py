@@ -1331,7 +1331,7 @@ def _bounce_kernel(
 
 
 def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
-    from .trace import SMEM_LIST_INTS, _tile_block_lists
+    from .trace import _tile_block_lists, max_list_tiles
 
     n = pack.shape[0]
     tri_block = world.tri_block
@@ -1339,8 +1339,8 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
 
     # bound the (nt, nb) scalar-prefetch SMEM worklists by chunking rows
     nb_all = world.block_aabb.shape[0]
-    if nt * nb_all > SMEM_LIST_INTS:
-        max_tiles = max(1, SMEM_LIST_INTS // nb_all)
+    max_tiles = max_list_tiles(nb_all)
+    if nt > max_tiles:
         chunk = max_tiles * ray_tile
         outs = [
             _bounce_call(world, margin, pack[s0:s0 + chunk],

@@ -37,9 +37,18 @@ EPS = constants.EPSILON
 RAY_TILE = 512
 TRI_BLOCK = 1024
 
-# Scalar-prefetch SMEM budget for (nt, nb) i32 worklists (~1 MB); callers
-# chunk their wavefronts so nt * nb stays under this.
-SMEM_LIST_INTS = 250_000
+# Scalar-prefetch SMEM budget for (nt, nb) i32 worklists; callers chunk
+# their wavefronts so nt * padded_nb stays under this.  Mosaic pads the
+# minor SMEM dimension (measured: 701 -> 768 on v5e), so the per-row cost
+# is the 256-rounded block count, and the budget leaves headroom under the
+# 1 MB SMEM allocation limit.
+SMEM_LIST_INTS = 200_000
+
+
+def max_list_tiles(nb: int) -> int:
+    """Ray tiles whose (nt, nb) worklist fits the SMEM budget."""
+    nb_pad = -(-nb // 256) * 256
+    return max(1, SMEM_LIST_INTS // nb_pad)
 
 
 def _nearest_hit_kernel(
@@ -607,8 +616,7 @@ def trace_pallas(
         # in row chunks so nt * nb stays bounded.
         nb = world.block_aabb.shape[0]
         n_pad = ro_p.shape[0]
-        max_tiles = max(1, SMEM_LIST_INTS // max(nb, 1))
-        chunk = min(n_pad, max_tiles * ray_tile)
+        chunk = min(n_pad, max_list_tiles(nb) * ray_tile)
         chunk -= chunk % ray_tile
         ts, idxs = [], []
         for s0 in range(0, n_pad, chunk):

@@ -39,17 +39,17 @@ assert jax.default_backend() == "tpu", jax.default_backend()
 
 scene = build_reference_scene().to_device()
 world = jax.jit(bake_world_triangles)(scene)
-cfg = RenderConfig(resolution=(200, 160), samples_per_pixel=2, max_bounces=5)
+cfg = RenderConfig(resolution=(32, 16), samples_per_pixel=1, max_bounces=5)
 ro, rd = generate_rays(cfg.camera, cfg.resolution)
 key = jax.random.PRNGKey(0)
 
 f = jax.jit(lambda: MK.render_samples_fused(
-    world, ro, rd, key, n_samples=2, max_bounces=5))
+    world, ro, rd, key, n_samples=1, max_bounces=5))
 img_mosaic = np.asarray(f())
 
 with pltpu.force_tpu_interpret_mode():
     img_interp = np.asarray(jax.jit(lambda: MK.render_samples_fused(
-        world, ro, rd, key, n_samples=2, max_bounces=5))())
+        world, ro, rd, key, n_samples=1, max_bounces=5))())
 
 exact = np.array_equal(img_mosaic, img_interp)
 diff = np.abs(img_mosaic - img_interp)

@@ -16,7 +16,7 @@ from pathtracerap_tpu.render.wavefront import Renderer
 def test_suite_configs_cover_baseline():
     names = set(suite_configs().keys())
     assert names == {"cornell", "highpoly", "metallic", "multimesh",
-                     "gridparity"}
+                     "gridparity", "megascene"}
 
 
 def test_multimesh_scene_renders():
