@@ -151,14 +151,22 @@ def image_loss(
     reduce: str = "mean",
     engine: str = DEFAULT_DIFF_ENGINE,
     parity: bool = True,
+    weight=None,
 ) -> jax.Array:
-    """Squared pixel loss vs an (N, 3) target."""
+    """Squared pixel loss vs an (N, 3) target.
+
+    ``weight`` (optional, (N,) or (N, 1)) scales per-ray error — sharded
+    callers use it to zero tile-padding rays, which otherwise render real
+    scene content against a zero target and inject spurious gradients."""
     img = render_for_params(
         params, scene, key, camera, resolution, n_samples, max_bounces,
         tile_size=tile_size, ro=ro, rd=rd, tile_base=tile_base,
         engine=engine, parity=parity,
     )
     err = (img - target) ** 2
+    if weight is not None:
+        w = weight if weight.ndim == 2 else weight[:, None]
+        err = err * w
     return jnp.mean(err) if reduce == "mean" else jnp.sum(err)
 
 
@@ -279,24 +287,27 @@ def make_sharded_train_step(
     n_pad = per_dev * n_dev
     ro = jnp.pad(ro, ((0, n_pad - n), (0, 0)))
     rd = jnp.pad(rd, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    # tile-padding rays (rows >= n) render real scene content against a
+    # zero-padded target; weight them out of the loss (ADVICE r4)
+    w_valid = (jnp.arange(n_pad) < n).astype(jnp.float32)[:, None]
     tiles_per_dev = per_dev // tile_size
     tiles_per_chunk = tiles_per_dev // overlap_chunks
     rays_per_chunk = per_dev // overlap_chunks
 
-    def local_step(params, scene_l, target_l, key_l, ro_l, rd_l):
+    def local_step(params, scene_l, target_l, key_l, ro_l, rd_l, w_l):
         tile_base = jax.lax.axis_index("rays") * tiles_per_dev
 
-        def chunk_loss(p, ro_c, rd_c, target_c, base_c):
+        def chunk_loss(p, ro_c, rd_c, target_c, base_c, w_c):
             return image_loss(
                 p, scene_l, target_c, key_l, camera, resolution,
                 n_samples, max_bounces, tile_size=tile_size,
                 ro=ro_c, rd=rd_c, tile_base=base_c, reduce="sum",
-                engine=engine,
+                engine=engine, weight=w_c,
             )
 
         if overlap_chunks == 1:
             loss, grads = jax.value_and_grad(chunk_loss)(
-                params, ro_l, rd_l, target_l, tile_base
+                params, ro_l, rd_l, target_l, tile_base, w_l
             )
             loss = jax.lax.psum(loss, "rays")
             grads = jax.lax.psum(grads, "rays")
@@ -304,12 +315,14 @@ def make_sharded_train_step(
             ro_cs = ro_l.reshape(overlap_chunks, rays_per_chunk, 3)
             rd_cs = rd_l.reshape(overlap_chunks, rays_per_chunk, 3)
             t_cs = target_l.reshape(overlap_chunks, rays_per_chunk, 3)
+            w_cs = w_l.reshape(overlap_chunks, rays_per_chunk, 1)
 
             def body(carry, inp):
                 acc_loss, acc_grads, k = carry
-                ro_c, rd_c, t_c = inp
+                ro_c, rd_c, t_c, w_c = inp
                 l_c, g_c = jax.value_and_grad(chunk_loss)(
-                    params, ro_c, rd_c, t_c, tile_base + k * tiles_per_chunk
+                    params, ro_c, rd_c, t_c,
+                    tile_base + k * tiles_per_chunk, w_c,
                 )
                 # per-chunk all-reduce: XLA's async collectives overlap
                 # this psum with the next chunk's compute
@@ -321,7 +334,7 @@ def make_sharded_train_step(
             zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
             (loss, grads, _), _ = jax.lax.scan(
                 body, (jnp.float32(0.0), zero_g, jnp.int32(0)),
-                (ro_cs, rd_cs, t_cs),
+                (ro_cs, rd_cs, t_cs, w_cs),
             )
 
         new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
@@ -330,7 +343,7 @@ def make_sharded_train_step(
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(), P("rays"), P(), P("rays"), P("rays")),
+        in_specs=(P(), P(), P("rays"), P(), P("rays"), P("rays"), P("rays")),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -338,6 +351,6 @@ def make_sharded_train_step(
     @jax.jit
     def step(params, target_flat, key):
         t = jnp.pad(target_flat, ((0, n_pad - target_flat.shape[0]), (0, 0)))
-        return sharded(params, scene, t, key, ro, rd)
+        return sharded(params, scene, t, key, ro, rd, w_valid)
 
     return step

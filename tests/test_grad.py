@@ -296,3 +296,60 @@ def test_overlapped_reduce_matches_single_psum(cornell_dev):
         np.asarray(p1["mat_color"]), np.asarray(p2["mat_color"]),
         rtol=1e-5, atol=1e-7,
     )
+
+
+def test_sharded_train_step_masks_padding_rays():
+    """ADVICE r4 (medium): with a ray count NOT divisible by
+    n_dev*tile_size, the sharded step's tile-padding rays render real scene
+    content against a zero-padded target; they must contribute ZERO loss
+    and ZERO gradient.  Reference: the identical padded single-device
+    computation with pad rows sliced off before the loss."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from pathtracerap_tpu.diff.grad import (
+        extract_params,
+        make_sharded_train_step,
+        render_for_params,
+    )
+    from pathtracerap_tpu.render.camera import generate_rays
+    from pathtracerap_tpu.scene.build import build_cornell_box_scene
+
+    scene = build_cornell_box_scene().to_device()
+    camera = CAMERA
+    res = (32, 17)  # n = 544: not divisible by 8 devices * 32-ray tiles
+    n = res[0] * res[1]
+    n_dev = len(jax.devices())
+    tile = 32
+    mesh = Mesh(np.asarray(jax.devices()), ("rays",))
+    step = make_sharded_train_step(
+        scene, camera, res, n_samples=2, max_bounces=3, mesh=mesh,
+        tile_size=tile, engine="pallas",
+    )
+    params = extract_params(scene, ("mat_color",))
+    key = jax.random.PRNGKey(3)
+    target = jnp.full((n, 3), 0.25, jnp.float32)
+    loss, new_params = step(params, target, key)
+
+    # reference: one device, same padded ray layout (=> same per-tile RNG
+    # streams), pad rows dropped before the loss
+    per_dev = -(-(-(-n // n_dev)) // tile) * tile
+    n_pad = per_dev * n_dev
+    ro, rd = generate_rays(camera, res)
+    ro_p = jnp.pad(ro, ((0, n_pad - n), (0, 0)))
+    rd_p = jnp.pad(rd, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+
+    def ref_loss(p):
+        img = render_for_params(
+            p, scene, key, camera, res, 2, 3, tile_size=tile,
+            ro=ro_p, rd=rd_p, tile_base=0, engine="pallas",
+        )
+        return jnp.sum((img[:n] - target) ** 2)
+
+    loss_ref, g_ref = jax.jit(jax.value_and_grad(ref_loss))(params)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params["mat_color"]),
+        np.asarray(params["mat_color"] - 0.05 * g_ref["mat_color"]),
+        rtol=1e-4, atol=1e-6,
+    )

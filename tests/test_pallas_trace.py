@@ -78,3 +78,46 @@ def test_blocked_culling_safe_at_extreme_scene_scales(rng, scale):
     np.testing.assert_array_equal(
         np.asarray(h_pal.mat_type), np.asarray(h_ref.mat_type)
     )
+
+
+def test_frustum_worklists_reject_nan_padding_blocks():
+    """ADVICE r4 (high): ring-baked padding blocks carry NaN AABBs; in the
+    frustum branch (nb > FRUSTUM_LIST_THRESHOLD) they must NOT test as
+    always-hit / sort to the front — every worklist must keep valid block
+    ids first and -1 padding strictly at the END (the streamed kernels'
+    prefetch invariant, megakernel.py)."""
+    import jax.numpy as jnp
+
+    from pathtracerap_tpu.pallas.trace import (
+        FRUSTUM_LIST_THRESHOLD,
+        _tile_block_lists,
+    )
+
+    nb = FRUSTUM_LIST_THRESHOLD + 16
+    n_real = nb - 24
+    k = jax.random.PRNGKey(0)
+    lo = jax.random.uniform(k, (nb, 3), minval=-50.0, maxval=40.0)
+    hi = lo + 10.0
+    aabb = jnp.concatenate([lo, hi, jnp.zeros((nb, 2))], axis=1)
+    # NaN out the padding tail, as ops/plucker.py's ring bake does
+    aabb = jnp.where(jnp.arange(nb)[:, None] < n_real, aabb, jnp.nan)
+
+    n = 256
+    ro = jnp.zeros((n, 3), jnp.float32).at[:, 2].set(150.0)
+    kd = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+    rd = kd / jnp.linalg.norm(kd, axis=1, keepdims=True)
+    alive = jnp.ones((n, 1), jnp.float32)
+
+    lists = np.asarray(jax.jit(
+        lambda: _tile_block_lists(aabb, ro, rd, alive, ray_tile=128)
+    )())
+    assert lists.shape[1] == nb
+    # no NaN-padding block id may ever appear
+    assert (lists < n_real).all()
+    # -1 entries are a strict suffix of each row
+    for row in lists:
+        neg = np.where(row < 0)[0]
+        if neg.size:
+            assert (row[neg[0]:] == -1).all()
+        # at least one real block reachable from inside the scene
+        assert row[0] >= 0
