@@ -238,7 +238,7 @@ def bake_world_triangles(
         [cl_min.T, cl_max.T, jnp.zeros((2, cl_min.shape[0]), jnp.float32)], axis=0
     )  # (8, T/128)
 
-    fused_ops = block_aabb = attr_rows = None
+    fused_ops = block_aabb = attr_rows = sub_aabb = None
     if fused_tile is not None:
         nb = t_pad // fused_tile
         # fused (16, 4*T) pack: per block, columns [ab | bc | ca | plane];
@@ -283,6 +283,19 @@ def bake_world_triangles(
         # triangles come first in the soup (fat | Morton | padding order),
         # so the real blocks are exactly the leading ceil(n_valid / TB).
         nb_real = -(-n_world_valid // fused_tile)
+        # 128-triangle sub-block AABBs for the r5 sub-granularity worklists
+        # (same inflated boxes as cluster_aabb, row-major).  Pure-padding
+        # clusters (the soup's trailing rows) become NaN — the worklist
+        # builders reject NaN for free in both branches, unlike the
+        # inverted [F_MAX, -F_MAX] box, which the min/max-swapped slab
+        # test always hits (the r3 phantom-block lesson).
+        nsb_real = -(-n_world_valid // 128)
+        sub_aabb = jnp.concatenate(
+            [cl_min, cl_max, jnp.zeros((cl_min.shape[0], 2), jnp.float32)],
+            axis=-1,
+        )  # (nsb, 8)
+        sub_row = jax.lax.broadcasted_iota(jnp.int32, sub_aabb.shape, 0)
+        sub_aabb = jnp.where(sub_row < nsb_real, sub_aabb, jnp.nan)
         if ring_shards is None:
             block_aabb = block_aabb[:nb_real]
         else:
@@ -332,6 +345,7 @@ def bake_world_triangles(
         fused_ops=fused_ops,
         block_aabb=block_aabb,
         attr_rows=attr_rows,
+        sub_aabb=sub_aabb,
         tri_block=fused_tile or 0,
         n_valid=n_world_valid,
         tri_model=padt(tri_model).astype(jnp.int32),

@@ -105,6 +105,17 @@ RESORT_EVERY = int(_os.environ.get("PTAP_RESORT_EVERY", "1"))
 # relayouts per bounce at the trace boundary.  A/B via PTAP_SHADE_T.
 SHADE_T = _os.environ.get("PTAP_SHADE_T", "1") == "1"
 
+# r5 sub-block worklists (binned engine): cull per-tile visit sets at
+# 128-triangle granularity (the bake's cluster AABBs) instead of the
+# 512-triangle block quantum, while each kernel visit still sweeps a
+# 512-wide operand — a GROUP of 4 worklist entries gathered into one
+# (16, 2048) slab.  Finer culling without finer visits: the per-visit
+# fixed costs (3 bf16 passes, accept chain, gated argmin+select) stay
+# amortized over 512 columns, but the columns are now chosen at 4x finer
+# granularity (VERDICT r4 next-round items 1+3).  A/B via PTAP_SUBBLOCKS.
+SUBBLOCKS = _os.environ.get("PTAP_SUBBLOCKS", "1") == "1"
+SUB_BLOCK = 128  # sub-block width == the bake's cluster size
+
 # Above this many 512-triangle blocks the worklist kernels stop holding the
 # operand pack whole in VMEM and stream per-visit slabs from HBM with
 # double-buffered DMAs (see _trace_inkernel's stream mode) — the pack VMEM
@@ -417,7 +428,7 @@ def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity: b
 def _trace_inkernel(
     orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
     tri_block: int, n_blocks: int, debug: bool = False, worklist=None,
-    return_raw: bool = False, scratch=None, stream=None,
+    return_raw: bool = False, scratch=None, stream=None, sub=None,
 ):
     """Nearest hit + attribute select for the live wavefront, all in VMEM.
 
@@ -547,6 +558,92 @@ def _trace_inkernel(
         best_ref, attrs_ref = scratch
         best_ref[:] = jnp.full((r, 1), F_MAX, jnp.float32)
         attrs_ref[:] = jnp.zeros((r, 16), jnp.float32)
+
+        if sub is not None:
+            # Sub-block visit groups (r5): each worklist entry is a
+            # 128-triangle SUB-block id; one visit gathers ``group``
+            # entries' operand/attr columns into a dense 512-wide slab and
+            # runs the standard visit body on it.  The list builder
+            # (trace._group_sub_lists) guarantees: a group is live iff its
+            # first entry is >= 0, every entry of a live group is a valid
+            # id, ids ascend within the group (first-win argmin then ties
+            # to the lowest global triangle index), and short groups repeat
+            # their first id (duplicates are harmless under nearest-min).
+            sub_w, group = sub
+            assert stream is None, "sub-block mode is VMEM-resident only"
+            assert sub_w * group == tri_block, (sub_w, group, tri_block)
+            assert nb_w % group == 0, (nb_w, group)
+
+            def visit_sub(j, _):
+                blk0 = list_at(j * group)
+
+                @pl.when(blk0 >= 0)
+                def _():
+                    subs = [list_at(j * group + g) for g in range(group)]
+                    # pack layout (16, nb, 4, TB): sub id s lives in parent
+                    # block s // group at quadrant offset k*TB + (s %
+                    # group)*sub_w; gather quadrant-major so the slab is
+                    # exactly a virtual block of ``tri_block`` triangles
+                    ops_slab = jnp.concatenate(
+                        [
+                            ops_ref[
+                                :,
+                                pl.ds(
+                                    pl.multiple_of(
+                                        (s // group) * (4 * tri_block)
+                                        + k * tri_block
+                                        + (s % group) * sub_w,
+                                        sub_w,
+                                    ),
+                                    sub_w,
+                                ),
+                            ]
+                            for k in range(4)
+                            for s in subs
+                        ],
+                        axis=1,
+                    )  # (16, 4*tri_block)
+                    attr_slab = jnp.concatenate(
+                        [
+                            attr_ref[
+                                :,
+                                pl.ds(pl.multiple_of(s * sub_w, sub_w), sub_w),
+                            ]
+                            for s in subs
+                        ],
+                        axis=1,
+                    )  # (16, tri_block)
+                    t_m, blk_min = compute_blk(0, ops_slab=ops_slab)
+                    best0 = best_ref[:]
+                    improve_pre = (blk_min < best0) | (
+                        (blk_min == best0) & (blk_min < F_MAX)
+                    )
+
+                    def do_update():
+                        new_attrs = select_attrs(0, t_m, attr_slab=attr_slab)
+                        best1 = best_ref[:]
+                        attrs1 = attrs_ref[:]
+                        improve = (blk_min < best1) | (
+                            (blk_min == best1)
+                            & (blk_min < F_MAX)
+                            & (new_attrs[:, 10:11] < attrs1[:, 10:11])
+                        )
+                        best_ref[:] = jnp.where(improve, blk_min, best1)
+                        attrs_ref[:] = jnp.where(improve, new_attrs, attrs1)
+
+                    if SELECT_GATE:
+                        pl.when(jnp.any(improve_pre))(do_update)
+                    else:
+                        do_update()
+
+                return 0
+
+            jax.lax.fori_loop(0, nb_w // group, visit_sub, 0)
+            best_t, attrs = best_ref[:], attrs_ref[:]
+            if return_raw:
+                return best_t, attrs
+            return (best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7],
+                    attrs[:, 7:10], attrs[:, 10:11])
 
         if stream is not None:
             # Streamed mode: the operand pack lives in HBM; each worklist
@@ -1264,6 +1361,7 @@ def _bounce_kernel(
     parity: bool,
     debug: bool = False,
     streamed: bool = False,
+    sub_group: int = 0,
 ):
     """One binned wavefront bounce: worklist trace + shade.
 
@@ -1286,6 +1384,7 @@ def _bounce_kernel(
         stream = (ops_ref, attr_ref, ops_buf, attr_buf, sem_o, sem_a)
     else:
         stream = None
+    sub = (SUB_BLOCK, sub_group) if sub_group else None
 
     @pl.when(nlive_ref[i] == 0)
     def _():
@@ -1304,6 +1403,7 @@ def _bounce_kernel(
                 tri_block, 0, debug=debug,
                 worklist=(list_ref.shape[1], lambda j: list_ref[i, j]),
                 return_raw=True, scratch=(best_sc, attrs_sc), stream=stream,
+                sub=sub,
             )
             at = attrs.T
             o_t, d_t, c_t, r_t = _shade_inkernel_t(
@@ -1319,7 +1419,7 @@ def _bounce_kernel(
                 orig, dirn, remaining, None, 0.0, ops_ref, attr_ref,
                 tri_block, 0, debug=debug,
                 worklist=(list_ref.shape[1], lambda j: list_ref[i, j]),
-                scratch=(best_sc, attrs_sc), stream=stream,
+                scratch=(best_sc, attrs_sc), stream=stream, sub=sub,
             )
             orig, dirn, color, remaining = _shade_inkernel(
                 orig, dirn, color, remaining, t, n, mt, mc, gn, u_ref[:], parity
@@ -1331,15 +1431,29 @@ def _bounce_kernel(
 
 
 def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
-    from .trace import _tile_block_lists, max_list_tiles
+    from .trace import _group_sub_lists, _tile_block_lists, max_list_tiles
 
     n = pack.shape[0]
     tri_block = world.tri_block
     nt = n // ray_tile
 
-    # bound the (nt, nb) scalar-prefetch SMEM worklists by chunking rows
-    nb_all = world.block_aabb.shape[0]
-    max_tiles = max_list_tiles(nb_all)
+    nb = world.block_aabb.shape[0]
+    streamed = nb > STREAM_BLOCKS
+    # r5 sub-block worklists: cull at 128-triangle granularity, visit in
+    # groups of tri_block/128 entries (VMEM-resident packs only — the
+    # streamed kernels keep whole-block DMAs)
+    use_sub = (
+        SUBBLOCKS
+        and not streamed
+        and world.sub_aabb is not None
+        and tri_block > SUB_BLOCK
+        and tri_block % SUB_BLOCK == 0
+    )
+    sub_group = tri_block // SUB_BLOCK if use_sub else 0
+
+    # bound the (nt, lists) scalar-prefetch SMEM worklists by chunking rows
+    list_width = world.sub_aabb.shape[0] if use_sub else nb
+    max_tiles = max_list_tiles(list_width)
     if nt > max_tiles:
         chunk = max_tiles * ray_tile
         outs = [
@@ -1354,15 +1468,18 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
         jnp.maximum(jnp.sum(pack[:, 3:6] ** 2, axis=1, keepdims=True), 1e-30)
     )
     alive_f = (pack[:, 9:10] > 0.0).astype(jnp.float32)
-    block_list = _tile_block_lists(
-        world.block_aabb, orig, d_n, alive_f, ray_tile, margin
-    )
+    if use_sub:
+        sub_lists = _tile_block_lists(
+            world.sub_aabb, orig, d_n, alive_f, ray_tile, margin
+        )
+        block_list = _group_sub_lists(sub_lists, sub_group)
+    else:
+        block_list = _tile_block_lists(
+            world.block_aabb, orig, d_n, alive_f, ray_tile, margin
+        )
     nlive = jnp.sum(
         alive_f.reshape(nt, ray_tile).astype(jnp.int32), axis=1
     )
-
-    nb = world.block_aabb.shape[0]
-    streamed = nb > STREAM_BLOCKS
     scratch_shapes = [
         pltpu.VMEM((ray_tile, 1), jnp.float32),
         pltpu.VMEM((ray_tile, 16), jnp.float32),
@@ -1398,7 +1515,7 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
     (out,) = pl.pallas_call(
         functools.partial(
             _bounce_kernel, tri_block=tri_block, parity=parity, debug=debug,
-            streamed=streamed,
+            streamed=streamed, sub_group=sub_group,
         ),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n, 16), jnp.float32)],

@@ -421,6 +421,37 @@ def _tile_block_lists(
     return jnp.where(jnp.isfinite(skey), order, -1)
 
 
+def _group_sub_lists(lists: jax.Array, group: int) -> jax.Array:
+    """Regroup (nt, nsb) tmin-sorted sub-block worklists into visit groups
+    of ``group`` entries for the batched sub-block kernel.
+
+    Contract required by the kernel (megakernel._trace_inkernel sub mode):
+
+    * group j is live iff its FIRST entry is >= 0; live groups are a strict
+      prefix of each row (inherited from the -1-suffix of the input);
+    * within a live group every entry is a VALID sub-block id and ids are
+      ascending — the in-group argmin's first-win then resolves exact-t
+      ties to the lowest global triangle index (the engines' shared
+      contract), because pack column order inside the group is ascending
+      global index;
+    * short groups are padded by REPEATING the group's first id (duplicate
+      sub-blocks are harmless: same t for the same triangle, argmin takes
+      the first occurrence).
+    """
+    nt, nsb = lists.shape
+    pad = (-nsb) % group
+    if pad:
+        lists = jnp.pad(lists, ((0, 0), (0, pad)), constant_values=-1)
+    ng = lists.shape[1] // group
+    g = lists.reshape(nt, ng, group)
+    big = jnp.int32(2**30)
+    g = jnp.sort(jnp.where(g < 0, big, g), axis=2)  # ascending, pads last
+    first = g[:, :, 0:1]
+    g = jnp.where(g >= big, first, g)  # repeat first id over the pad tail
+    g = jnp.where(first >= big, -1, g)  # fully-dead group -> all -1
+    return g.reshape(nt, ng * group)
+
+
 def _slab_margin(block_aabb: jax.Array) -> jax.Array:
     """Scale-relative conservative slab-test margin (scalar, traced).
 

@@ -252,6 +252,13 @@ class WorldTriangles:
     # HIGHEST-precision lane-contracted MXU matmul — the TPU replacement
     # for the reference's per-thread struct reads at Renderer.cpp:393-398.
     attr_rows: jax.Array | None = None  # (16, T) f32
+    # Per-128-triangle SUB-block AABBs in worklist-builder layout
+    # ((nsb, 8) rows [min xyz, max xyz, 0, 0]; pure-padding rows are NaN so
+    # no slab/frustum test can select them).  Same boxes as
+    # ``cluster_aabb`` but row-major and NaN-padded: the binned engine's
+    # r5 sub-block worklists cull at this 4x finer granularity while the
+    # kernel still visits groups of 4 sub-blocks per 512-wide MXU sweep.
+    sub_aabb: jax.Array | None = None  # (nsb, 8) f32
     # Static block geometry.  ``block_aabb`` holds ONLY blocks containing
     # real triangles: a pure-padding block's "inverted" AABB is NOT
     # unhittable under the min/max-swapped slab test (the swap turns it

@@ -206,3 +206,60 @@ def test_streamed_worklist_kernels_match(scene, monkeypatch):
     b_stream = np.asarray(MK.render_samples_binned(
         world, ro, rd, key, n_samples=2, max_bounces=3))
     np.testing.assert_allclose(b_stream, f_base, atol=1e-6)
+
+
+def test_subblock_worklists_match_block_worklists(scene):
+    """r5: the sub-block (128-tri granularity) worklist path must be
+    bit-identical to the block-granularity path — grouping only changes
+    WHICH columns each visit sweeps, never the accept logic or the
+    (t, lowest-global-index) tie contract."""
+    import jax
+
+    import pathtracerap_tpu.pallas.megakernel as MK
+    from pathtracerap_tpu.ops.plucker import bake_world_triangles
+    from pathtracerap_tpu.render.camera import generate_rays
+    from pathtracerap_tpu.scene.build import build_reference_scene
+
+    ref = build_reference_scene().to_device()
+    world = jax.jit(bake_world_triangles)(ref)
+    assert world.sub_aabb is not None
+    ro, rd = generate_rays(RenderConfig().camera, (32, 16))
+    key = jax.random.PRNGKey(7)
+
+    old = MK.SUBBLOCKS
+    try:
+        MK.SUBBLOCKS = True
+        b_sub = np.asarray(MK.render_samples_binned(
+            world, ro, rd, key, n_samples=2, max_bounces=4))
+        MK.SUBBLOCKS = False
+        b_blk = np.asarray(MK.render_samples_binned(
+            world, ro, rd, key, n_samples=2, max_bounces=4))
+    finally:
+        MK.SUBBLOCKS = old
+    np.testing.assert_array_equal(b_sub, b_blk)
+
+
+def test_group_sub_lists_contract():
+    """The regrouped worklist invariants the sub-mode kernel relies on:
+    live groups are a prefix, live groups contain only valid ascending ids,
+    short groups repeat their first id."""
+    import jax.numpy as jnp
+
+    from pathtracerap_tpu.pallas.trace import _group_sub_lists
+
+    lists = jnp.asarray([
+        [3, 9, 1, 7, 2, -1, -1, -1],   # 5 valid -> 2 groups
+        [-1, -1, -1, -1, -1, -1, -1, -1],  # dead tile
+        [5, -1, -1, -1, -1, -1, -1, -1],   # 1 valid
+    ], jnp.int32)
+    g = np.asarray(_group_sub_lists(lists, 4))
+    assert g.shape == (3, 8)
+    # row 0: first group = sorted first 4 entries; second group pads with
+    # its first id
+    assert list(g[0, :4]) == [1, 3, 7, 9]
+    assert list(g[0, 4:]) == [2, 2, 2, 2]
+    # dead tile stays all -1
+    assert (g[1] == -1).all()
+    # single-entry group repeats it; trailing group dead
+    assert list(g[2, :4]) == [5, 5, 5, 5]
+    assert (g[2, 4:] == -1).all()
