@@ -331,17 +331,28 @@ def make_geometry_sharded_train_step(
     lr: float = 0.05,
     tile_size: int = 2048,
     parity: bool = True,
+    param_names=("mat_color",),
 ):
     """Differentiable train step over a geometry-sharded ring.
 
-    The heavy traversal packs are baked ONCE (frozen, stop-gradient — the
-    ring trace is detached hit topology exactly like every other engine);
-    the differentiable material table rides as the parameter and is
-    re-injected into the local world each step, so mat_color/emission
-    gradients flow through :func:`diff.fast.hit_from_index`'s one-hot
-    matmul while triangles stay sharded.  Geometry (vertex) training stays
-    on the replicated path — re-baking sharded packs per step is future
-    work and is documented as such.
+    Two regimes by ``param_names`` (VERDICT r4 next-round item 5):
+
+    * ``("mat_color",)`` — the heavy traversal packs are baked ONCE
+      (frozen, stop-gradient — the ring trace is detached hit topology
+      exactly like every other engine); the differentiable material table
+      rides as the parameter and is re-injected into the local world each
+      step, so mat_color/emission gradients flow through
+      :func:`diff.fast.hit_from_index`'s one-hot matmul while triangles
+      stay sharded.
+    * any geometry parameter (``vertex_pos`` / ``model_to_world``) — the
+      world is RE-BAKED from the parameters inside the loss every step
+      (``bake_world_triangles(ring_shards=D)``) with its heavy pack
+      sharding-constrained back onto the ring axis, so the forward trace
+      sees the current geometry and the frozen-topology replay's
+      v0/e1/e2/normal tables are differentiable functions of the
+      parameters.  Use ``parity=False`` for pixel-loss vertex gradients
+      (in parity mode color is a pure albedo product and carries none —
+      render/shade.py).
 
     Returns jitted ``step(params, target_flat, key) -> (loss, new_params)``.
     """
@@ -351,10 +362,12 @@ def make_geometry_sharded_train_step(
 
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
+    rebake = any(name != "mat_color" for name in param_names)
     world = jax.jit(
         functools.partial(bake_world_triangles, ring_shards=n_dev)
     )(scene)
-    world = jax.lax.stop_gradient(world)
+    if not rebake:
+        world = jax.lax.stop_gradient(world)
     world_specs = ring_world_specs(world, axis)
     diff_tracer = make_ring_diff_tracer(n_dev, axis)
 
@@ -369,6 +382,69 @@ def make_geometry_sharded_train_step(
     # them out of the loss (ADVICE r4)
     w_valid = (jnp.arange(n_pad) < n).astype(jnp.float32)[:, None]
     tiles_per_dev = per_dev // tile_size
+
+    if rebake:
+        from jax.sharding import NamedSharding
+
+        shard_tree = jax.tree_util.tree_map(
+            lambda spec: NamedSharding(mesh, spec), world_specs
+        )
+
+        def local_loss(world_l, target_l, key_l, ro_l, rd_l, w_l):
+            tile_base = jax.lax.axis_index(axis) * tiles_per_dev
+            tracer = lambda o, d, alive=None: diff_tracer(
+                world_l, o, d, alive=alive
+            )
+            render_tile = functools.partial(
+                _render_tile,
+                tracer,
+                key=key_l,
+                n_samples=n_samples,
+                max_bounces=max_bounces,
+                parity=parity,
+                sample_offset=0,
+                scene=scene,
+            )
+            acc = render_ray_array(
+                render_tile, ro_l, rd_l, tile_size, tile_base=tile_base
+            )
+            img = acc / n_samples
+            return jax.lax.psum(
+                jnp.sum(w_l * (img - target_l) ** 2), axis
+            )
+
+        sharded_loss = jax.shard_map(
+            local_loss,
+            mesh=mesh,
+            in_specs=(world_specs, P(axis), P(), P(axis), P(axis), P(axis)),
+            out_specs=P(),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step_rebake(params, target_flat, key):
+            t = jnp.pad(
+                target_flat, ((0, n_pad - target_flat.shape[0]), (0, 0))
+            )
+
+            def loss_fn(p):
+                world_p = bake_world_triangles(
+                    scene.replace(**p), ring_shards=n_dev
+                )
+                # pin the heavy pack back onto the ring axis so the bake's
+                # output materializes sharded, not replicated
+                world_p = jax.lax.with_sharding_constraint(
+                    world_p, shard_tree
+                )
+                return sharded_loss(world_p, t, key, ro, rd, w_valid)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            new_params = jax.tree_util.tree_map(
+                lambda q, g: q - lr * g, params, grads
+            )
+            return loss, new_params
+
+        return step_rebake
 
     def local_step(params, world_l, target_l, key_l, ro_l, rd_l, w_l):
         tile_base = jax.lax.axis_index(axis) * tiles_per_dev

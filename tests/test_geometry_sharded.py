@@ -141,3 +141,48 @@ def test_geometry_sharded_train_step_masks_padding_rays():
         np.asarray(params["mat_color"] - 0.05 * g_ref["mat_color"]),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_geometry_sharded_vertex_training_matches_replicated():
+    """VERDICT r4 item 5: vertex-position training over the geometry ring.
+    The re-baking ring step's loss/grads for {mat_color, vertex_pos} must
+    match the replicated diff path (quality mode: the cosine factor is
+    what carries pixel-loss vertex gradients)."""
+    import jax.numpy as jnp
+
+    from pathtracerap_tpu.diff.grad import extract_params, image_loss
+    from pathtracerap_tpu.parallel.geometry import make_geometry_sharded_train_step
+
+    scene = build_cornell_box_scene().to_device()
+    n_dev = len(jax.devices())
+    mesh = Mesh(np.asarray(jax.devices()), ("shard",))
+    res = RES
+    n = res[0] * res[1]
+    tile = n // n_dev
+    step = make_geometry_sharded_train_step(
+        scene, CAMERA, res, n_samples=2, max_bounces=3, mesh=mesh,
+        tile_size=tile, parity=False,
+        param_names=("mat_color", "vertex_pos"),
+    )
+    params = extract_params(scene, ("mat_color", "vertex_pos"))
+    target = jnp.full((n, 3), 0.3, jnp.float32)
+    key = jax.random.PRNGKey(2)
+    loss, new_params = step(params, target, key)
+    assert np.isfinite(float(loss))
+
+    def sum_loss(p):
+        return image_loss(
+            p, scene, target, key, CAMERA, res, 2, 3,
+            tile_size=tile, reduce="sum", engine="pallas", parity=False,
+        )
+
+    loss1, g1 = jax.jit(jax.value_and_grad(sum_loss))(params)
+    np.testing.assert_allclose(float(loss), float(loss1), rtol=1e-5)
+    # vertex gradients are real (nonzero) and match the replicated path
+    assert np.abs(np.asarray(g1["vertex_pos"])).max() > 0.0
+    for name in ("mat_color", "vertex_pos"):
+        np.testing.assert_allclose(
+            np.asarray(new_params[name]),
+            np.asarray(params[name] - 0.05 * g1[name]),
+            rtol=1e-4, atol=1e-6,
+        )
