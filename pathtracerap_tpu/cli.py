@@ -38,6 +38,8 @@ def _load_scene(args):
         overrides["seed"] = args.seed
     if args.samples_per_chunk:
         overrides["samples_per_chunk"] = args.samples_per_chunk
+    if getattr(args, "quality", False):
+        overrides["parity"] = False
 
     if args.scene == "reference":
         return build_reference_scene(), RenderConfig(**overrides)
@@ -72,6 +74,9 @@ def _add_common(p):
     p.add_argument("--engine", default="", choices=["", "parity", "mxu", "pallas", "fused", "binned"])
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--samples-per-chunk", type=int, default=0)
+    p.add_argument("--quality", action="store_true",
+                   help="quality mode (parity quirks off: cosine factor, "
+                        "real SPECULAR/REFRACTIVE BSDFs)")
     # multi-host / multi-device entry (SURVEY.md section 5 "distributed
     # communication backend"); values default to JAX_* env vars
     p.add_argument("--distributed", action="store_true",

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from .. import constants
 from ..ops.intersect import HitRecord
-from ..ops.math import normalize
+from ..ops.math import normalize, normalize_guarded
 from ..scene.types import MaterialType, WorldTriangles
 
 F_MAX = constants.FLOAT_MAX
@@ -77,7 +77,12 @@ def hit_from_index(
         # geometric normal straight from positions — the quality-mode
         # cosine factor's vertex-gradient carrier (render/shade.py)
         geom_normal=jnp.where(
-            hit[:, None], normalize(jnp.cross(e1, e2), eps=1e-30), 0.0
+            hit[:, None], normalize_guarded(jnp.cross(e1, e2)), 0.0
+        ),
+        mat_ri=(
+            jnp.where(hit, world.mat_ri[idx], 1.5)
+            if world.mat_ri is not None
+            else None
         ),
     )
 
@@ -209,6 +214,11 @@ def render_samples_fused_diff(
 
     hits0, idx0 = trace_pallas(sworld, ro_s, rd_s, return_idx=True)
     hit0 = hits0.t < F_MAX
+    ri0 = (
+        hits0.mat_ri[:, None]
+        if hits0.mat_ri is not None
+        else jnp.full((n_pad, 1), 1.5, jnp.float32)
+    )
     prim = jnp.concatenate(
         [
             hits0.t[:, None],
@@ -217,6 +227,8 @@ def render_samples_fused_diff(
             hits0.mat_color,
             hits0.geom_normal,
             jnp.where(hit0, idx0 + 1, 0).astype(jnp.float32)[:, None],
+            ri0,
+            jnp.zeros((n_pad, 3), jnp.float32),
         ],
         axis=1,
     )

@@ -55,6 +55,11 @@ class HitRecord:
     # using it would make the factor geometry-free).  None => shading
     # normal fallback (parity DDA engine).
     geom_normal: jax.Array | None = None
+    # (N,) material index of refraction of the hit surface — read only by
+    # quality-mode REFRACTIVE shading (r5); None => 1.5 fallback (parity
+    # engines never read it: the reference shades neither SPECULAR nor
+    # REFRACTIVE, Renderer.cpp:433-467).
+    mat_ri: jax.Array | None = None
 
     @property
     def hit(self) -> jax.Array:

@@ -20,6 +20,25 @@ def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
     return v / n
 
 
+def normalize_guarded(
+    v: jnp.ndarray, axis: int = -1, eps: float = 1e-30
+) -> jnp.ndarray:
+    """AD-safe normalize for possibly-zero vectors (r5).
+
+    ``normalize(v, eps=...)`` returns a finite VALUE at v == 0, but its
+    reverse-mode gradient is NaN there (``linalg.norm``'s VJP is v/|v|):
+    a single degenerate triangle — e.g. a sphere-cap sliver whose
+    geometric normal is the zero cross product — poisoned every
+    quality-mode pixel gradient through the cosine factor.  Zero rows
+    return the +x axis and contribute exactly zero gradient
+    (the double-``where`` rule)."""
+    sq = jnp.sum(v * v, axis=axis, keepdims=True)
+    ok = sq > eps
+    fallback = jnp.zeros_like(v).at[..., 0].set(1.0)
+    v_safe = jnp.where(ok, v, fallback)
+    return v_safe / jnp.linalg.norm(v_safe, axis=axis, keepdims=True)
+
+
 def transform_position(p: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     """``vec3(M @ vec4(p, 1))`` (utility.h:77-80). p: (..., 3), m: (4, 4)."""
     return p @ m[:3, :3].T + m[:3, 3]

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from .. import constants
 from ..scene.types import SceneDevice, WorldTriangles
 from .intersect import HitRecord
-from .math import inv3x3, normalize
+from .math import inv3x3, normalize, normalize_guarded
 
 F_MAX = constants.FLOAT_MAX
 EPS = constants.EPSILON
@@ -129,10 +129,15 @@ def bake_world_triangles(
         + scene.vertex_nrm[vidx[:, 2]]
     ) * (1.0 / 3.0)
     navg = jnp.where(src_valid > 0, navg, jnp.array([1.0, 0.0, 0.0]))
-    shade_n = normalize(jnp.einsum("tij,tj->ti", inv_t[mdl], navg), eps=1e-30)
+    shade_n = normalize_guarded(jnp.einsum("tij,tj->ti", inv_t[mdl], navg))
 
     mat_type = scene.mat_type[mdl]
     mat_color = scene.mat_color[mdl]
+    mat_ri = (
+        scene.mat_refractive_index[mdl]
+        if scene.mat_refractive_index is not None
+        else jnp.full(mdl.shape, 1.5, jnp.float32)
+    )
     tri_model = mdl
 
     # Sort world triangles into (fat | small-by-Morton | padding) order:
@@ -164,10 +169,10 @@ def bake_world_triangles(
     perm = jnp.argsort(code, stable=True)
     perm = perm[jnp.argsort(klass[perm], stable=True)]
     (a, b, c, e_ab, e_bc, e_ca, n, d_plane, shade_n, mat_type, mat_color,
-     src_valid, tri_model) = (
+     mat_ri, src_valid, tri_model) = (
         x[perm]
         for x in (a, b, c, e_ab, e_bc, e_ca, n, d_plane, shade_n, mat_type,
-                  mat_color, src_valid, tri_model)
+                  mat_color, mat_ri, src_valid, tri_model)
     )
 
     tw = a.shape[0]
@@ -315,7 +320,7 @@ def bake_world_triangles(
         # differentiable replay consumes (diff/fast.py).  Row-major (16, T)
         # rather than (T, 16): the per-visit slab slice is then on the LANE
         # dimension, which Mosaic supports with DYNAMIC (worklist) starts.
-        geom_n = normalize(n, eps=1e-30)
+        geom_n = normalize_guarded(n)
         attr_rows = jnp.concatenate(
             [
                 padt(shade_n).T,
@@ -323,7 +328,8 @@ def bake_world_triangles(
                 padt(mat_color).T,
                 padt(geom_n).T,
                 (jnp.arange(t_pad, dtype=jnp.float32) + 1.0)[None, :],
-                jnp.zeros((5, t_pad), jnp.float32),
+                padt(mat_ri)[None, :],  # row 11: refractive index (r5)
+                jnp.zeros((4, t_pad), jnp.float32),
             ],
             axis=0,
         )  # (16, T)
@@ -338,6 +344,7 @@ def bake_world_triangles(
         shade_normal=padt(shade_n),
         mat_type=padt(mat_type).astype(jnp.int32),
         mat_color=padt(mat_color),
+        mat_ri=padt(mat_ri, value=1.5),
         valid=jnp.pad(src_valid[:, 0], (0, pad)),
         v0=padt(a),
         e1=padt(b - a),
@@ -438,6 +445,11 @@ def trace_mxu(
         mat_type=jnp.where(hit, world.mat_type[idx], 0),
         mat_color=jnp.where(hit[:, None], world.mat_color[idx], 0.0),
         geom_normal=jnp.where(
-            hit[:, None], normalize(world.plane_n[idx], eps=1e-30), 0.0
+            hit[:, None], normalize_guarded(world.plane_n[idx]), 0.0
+        ),
+        mat_ri=(
+            jnp.where(hit, world.mat_ri[idx], 1.5)
+            if world.mat_ri is not None
+            else None
         ),
     )

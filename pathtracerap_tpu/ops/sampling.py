@@ -104,3 +104,45 @@ def coat_scatter(
     diffuse = cosine_hemisphere(normal, u1, u2)
     take_mirror = (u0 < constants.COAT_REFLECT_PROBABILITY)[..., None]
     return jnp.where(take_mirror, mirror, diffuse)
+
+
+def refract_scatter(
+    normal: jnp.ndarray,  # (N, 3) unit shading normal (outward)
+    ray_dir: jnp.ndarray,  # (N, 3) unit incident direction
+    ior: jnp.ndarray,  # (N, 1) material index of refraction (vacuum outside)
+    u: jnp.ndarray,  # (N,) uniform for the Fresnel roulette
+):
+    """Fresnel-weighted dielectric scatter (quality mode, r5).
+
+    The reference declares REFRACTIVE and carries ``refractive_index`` in
+    its data model (Primitive.h:70-84) but never shades it; this is the
+    physically standard implementation SURVEY.md section 7 step 4 promised:
+    Snell refraction with Schlick's Fresnel approximation deciding a
+    reflect/refract roulette, total internal reflection forced to reflect.
+
+    Returns ``(direction, orient)`` with ``orient`` in {+1, -1} such that
+    the spawn point is ``hit + SPAWN_OFFSET * orient * normal`` (the
+    UNoriented shading normal): the offset pushes toward whichever side of
+    the surface the ray continues on (incident side for reflection,
+    opposite side for transmission).
+    """
+    entering = jnp.sum(ray_dir * normal, axis=-1, keepdims=True) < 0.0
+    n_eff = jnp.where(entering, normal, -normal)
+    cos_i = jnp.clip(-jnp.sum(ray_dir * n_eff, axis=-1, keepdims=True), 0.0, 1.0)
+    eta = jnp.where(entering, 1.0 / ior, ior)
+    k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
+    tir = k < 0.0
+    # double-where: sqrt'(0) is inf, and on TIR lanes max(k, 0) == 0 would
+    # poison reverse-mode AD with 0 * inf = NaN
+    cos_t = jnp.where(tir, 0.0, jnp.sqrt(jnp.where(tir, 1.0, k)))
+    refr = normalize(eta * ray_dir + (eta * cos_i - cos_t) * n_eff)
+    r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+    # Schlick on the angle in the DENSER medium's vacuum side: incident
+    # angle when entering, transmitted angle when exiting
+    cos_x = jnp.where(entering, cos_i, cos_t)
+    fres = r0 + (1.0 - r0) * (1.0 - cos_x) ** 5
+    take_refl = tir | (u[..., None] < fres)
+    refl = reflect_standard(ray_dir, n_eff)
+    direction = jnp.where(take_refl, refl, refr)
+    orient = jnp.where(take_refl, 1.0, -1.0) * jnp.where(entering, 1.0, -1.0)
+    return direction, orient

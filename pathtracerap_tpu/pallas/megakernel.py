@@ -116,6 +116,45 @@ SHADE_T = _os.environ.get("PTAP_SHADE_T", "1") == "1"
 SUBBLOCKS = _os.environ.get("PTAP_SUBBLOCKS", "1") == "1"
 SUB_BLOCK = 128  # sub-block width == the bake's cluster size
 
+# r5 bf16-first hierarchical accept (probe + refine), PERF_NOTES lever #1:
+# each sub-group visit first runs ONLY the hi*hi bf16 pass (1/3 of the
+# bf16x3 matmul) and evaluates a conservatively WIDENED accept on it; the
+# remaining two refine passes + exact accept + select run only when some
+# lane's probe lower bound could beat the running best.  The probe reuses
+# its pass as the third term of the bf16x3 sum (same add order — refined
+# results are bit-identical to the unprobed kernel).  Conservativeness:
+# (a) exact-accepting lanes satisfy |det| >= absm/3.1 (all three
+# barycentrics in [~0,1] forces each |s_k| <= (1+2eps)|det|), and the
+# hi*hi pass's relative error (~2^-8 per product, f32 accumulate) cannot
+# push them below the 0.25*absm probe-safe threshold, so probe-unsafe
+# lanes are provably non-accepting; (b) safe lanes' u/v/t carry error
+# <= ~0.004 * (absm/|det|) <= ~0.03 relative, covered 3x by the 0.1
+# widening.  A/B via PTAP_BF16_PROBE.  Default OFF: measured 14.38 vs
+# 15.38 Mrays/s on the reference workload (r5) — the XLA slab pass
+# already pre-culls the worklists to mostly-improving visits, so the
+# probe's extra vector->scalar sync + widened-accept chain costs more
+# than the two matmul passes it can skip.  Kept for A/B on scenes with
+# deeper occlusion (where tmin-sorted later visits rarely improve).
+BF16_PROBE = _os.environ.get("PTAP_BF16_PROBE", "0") == "1"
+PROBE_SLACK = 0.1
+
+# r5 deferred shading for the binned engine: the bounce kernel returns
+# only (best_t, winning global pack column) — the per-visit 6-pass
+# HIGHEST attribute-select matmul becomes cheap argmin integer math and
+# the whole in-kernel shade moves to XLA, where a 16-column attr gather
+# (4.2 ms) + fused elementwise shade (2.5 ms) measure ~5x cheaper than
+# the Mosaic in-kernel shade (~14 ms/bounce) at 800k rays
+# (scripts/prof_r5_shade.py).  Requires the sub-block worklist path
+# (VMEM-resident packs); streamed scenes keep the fused trace+shade
+# kernel.  A/B via PTAP_DEFER_SHADE.  Default OFF: measured 14.61 vs
+# 15.38 Mrays/s end-to-end on the reference workload — the in-kernel
+# shade only runs on LIVE tiles (nlive skip; live fraction decays 0.89 ->
+# 0.32 over bounces), while the XLA shade pays every lane every bounce,
+# and the micro-costs above don't include the extra per-bounce HBM
+# round-trip of (t, gcol) + the repack.  Kept for A/B; may win on
+# workloads whose wavefronts stay near-fully live.
+DEFER_SHADE = _os.environ.get("PTAP_DEFER_SHADE", "0") == "1"
+
 # Above this many 512-triangle blocks the worklist kernels stop holding the
 # operand pack whole in VMEM and stream per-visit slabs from HBM with
 # double-buffered DMAs (see _trace_inkernel's stream mode) — the pack VMEM
@@ -150,6 +189,8 @@ _MT_REFLECTIVE = float(int(MaterialType.REFLECTIVE))
 _MT_EMISSIVE = float(int(MaterialType.EMISSIVE))
 _MT_COAT = float(int(MaterialType.COAT))
 _MT_METAL = float(int(MaterialType.METAL))
+_MT_SPECULAR = float(int(MaterialType.SPECULAR))
+_MT_REFRACTIVE = float(int(MaterialType.REFRACTIVE))
 
 
 def _interpret() -> bool:
@@ -243,6 +284,28 @@ def _coat_scatter(n, d, u0, u1, u2, parity: bool):
     return jnp.where(u0 < constants.COAT_REFLECT_PROBABILITY, mirror, diffuse)
 
 
+def _refract_scatter(n, d, ri, u3):
+    """In-kernel port of ops/sampling.refract_scatter (row layout):
+    Fresnel-roulette dielectric.  Returns (direction, orient) with the
+    spawn point at ``pt + SPAWN_OFFSET * orient * n``."""
+    entering = _dot3(d, n) < 0.0
+    n_eff = jnp.where(entering, n, -n)
+    cos_i = jnp.clip(-_dot3(d, n_eff), 0.0, 1.0)
+    eta = jnp.where(entering, 1.0 / ri, ri)
+    k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
+    tir = k < 0.0
+    cos_t = jnp.sqrt(jnp.maximum(k, 0.0))
+    refr = _norm3(eta * d + (eta * cos_i - cos_t) * n_eff)
+    r0 = ((ri - 1.0) / (ri + 1.0)) ** 2
+    cos_x = jnp.where(entering, cos_i, cos_t)
+    fres = r0 + (1.0 - r0) * (1.0 - cos_x) ** 5
+    take_refl = tir | (u3 < fres)
+    refl = d - 2.0 * _dot3(d, n_eff) * n_eff
+    direction = jnp.where(take_refl, refl, refr)
+    orient = jnp.where(take_refl, 1.0, -1.0) * jnp.where(entering, 1.0, -1.0)
+    return direction, orient
+
+
 # ---------------------------------------------------------------------------
 # Transposed (lane-major) shading: every state array is (components, R) so
 # rays ride the 128-lane dimension.  The row-major (R, 3)/(R, 1) slabs the
@@ -322,8 +385,28 @@ def _coat_scatter_t(n, d, u0, u1, u2, parity: bool):
     return jnp.where(u0 < constants.COAT_REFLECT_PROBABILITY, mirror, diffuse)
 
 
+def _refract_scatter_t(n, d, ri, u3):
+    """Transposed-layout _refract_scatter: operands (components, R)."""
+    entering = _dot3_t(d, n) < 0.0
+    n_eff = jnp.where(entering, n, -n)
+    cos_i = jnp.clip(-_dot3_t(d, n_eff), 0.0, 1.0)
+    eta = jnp.where(entering, 1.0 / ri, ri)
+    k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
+    tir = k < 0.0
+    cos_t = jnp.sqrt(jnp.maximum(k, 0.0))
+    refr = _norm3_t(eta * d + (eta * cos_i - cos_t) * n_eff)
+    r0 = ((ri - 1.0) / (ri + 1.0)) ** 2
+    cos_x = jnp.where(entering, cos_i, cos_t)
+    fres = r0 + (1.0 - r0) * (1.0 - cos_x) ** 5
+    take_refl = tir | (u3 < fres)
+    refl = d - 2.0 * _dot3_t(d, n_eff) * n_eff
+    direction = jnp.where(take_refl, refl, refr)
+    orient = jnp.where(take_refl, 1.0, -1.0) * jnp.where(entering, 1.0, -1.0)
+    return direction, orient
+
+
 def _shade_inkernel_t(orig, dirn, color, remaining, t, n, mt, mc, gn, u,
-                      parity: bool):
+                      parity: bool, ri=None):
     """Transposed-layout port of :func:`_shade_inkernel`: every operand is
     (components, R).  ``u`` is (4, R)."""
     alive = remaining > 0.0
@@ -354,6 +437,20 @@ def _shade_inkernel_t(orig, dirn, color, remaining, t, n, mt, mc, gn, u,
         jnp.where(is_metal, dir_metal, jnp.where(is_coat, dir_coat, dir_refl)),
     )
 
+    if not parity and ri is not None:
+        # quality-mode SPECULAR mirror + REFRACTIVE dielectric (r5); see
+        # render/shade.py for the authoritative XLA form
+        is_spec = is_mat(_MT_SPECULAR)
+        is_refr = is_mat(_MT_REFRACTIVE)
+        dir_refr, orient = _refract_scatter_t(n, d, ri, u3)
+        scatters = scatters | is_spec | is_refr
+        new_dir = jnp.where(
+            is_refr, dir_refr, jnp.where(is_spec, dir_refl, new_dir)
+        )
+        spawn = jnp.where(
+            is_refr, pt + constants.SPAWN_OFFSET * orient * n, spawn
+        )
+
     shaded = alive & hit
     upd_dir = shaded & scatters
     upd_col = shaded & (scatters | is_emissive)
@@ -373,7 +470,8 @@ def _shade_inkernel_t(orig, dirn, color, remaining, t, n, mt, mc, gn, u,
     return orig, dirn, color, remaining
 
 
-def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity: bool):
+def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, gn, u,
+                    parity: bool, ri=None):
     """One wavefront shading step on VMEM slabs — port of
     :func:`render.shade.shade` (shadeRayKernel, Renderer.cpp:411-479)."""
     alive = remaining > 0.0
@@ -404,6 +502,19 @@ def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity: b
         jnp.where(is_metal, dir_metal, jnp.where(is_coat, dir_coat, dir_refl)),
     )
 
+    if not parity and ri is not None:
+        # quality-mode SPECULAR mirror + REFRACTIVE dielectric (r5)
+        is_spec = is_mat(_MT_SPECULAR)
+        is_refr = is_mat(_MT_REFRACTIVE)
+        dir_refr, orient = _refract_scatter(n, d, ri, u3)
+        scatters = scatters | is_spec | is_refr
+        new_dir = jnp.where(
+            is_refr, dir_refr, jnp.where(is_spec, dir_refl, new_dir)
+        )
+        spawn = jnp.where(
+            is_refr, pt + constants.SPAWN_OFFSET * orient * n, spawn
+        )
+
     shaded = alive & hit
     upd_dir = shaded & scatters
     upd_col = shaded & (scatters | is_emissive)
@@ -429,6 +540,7 @@ def _trace_inkernel(
     orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
     tri_block: int, n_blocks: int, debug: bool = False, worklist=None,
     return_raw: bool = False, scratch=None, stream=None, sub=None,
+    emit_gcol: bool = False,
 ):
     """Nearest hit + attribute select for the live wavefront, all in VMEM.
 
@@ -474,19 +586,9 @@ def _trace_inkernel(
 
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (r, tri_block), 1)
 
-    def compute_blk(blk, ops_slab=None):
-        """The per-block traversal math: (t_m (R, TB), blk_min (R, 1)).
-
-        ``ops_slab`` (streamed mode) is the block's whole (16, 4*TB)
-        operand slab already DMA'd into VMEM; otherwise it is sliced out
-        of the VMEM-resident pack."""
-        if ops_slab is None:
-            cols = pl.ds(
-                pl.multiple_of(blk * (4 * tri_block), 4 * tri_block),
-                4 * tri_block,
-            )
-            ops_slab = ops_ref[:, cols]
-        s = _mm(w16, ops_slab)  # (R, 4*TB)
+    def accept_from_s(s):
+        """Epsilon-guarded Moeller-Trumbore accept from the side/plane
+        products ``s`` (R, 4*TB): returns (t_m, blk_min)."""
         s_ab = s[:, 0:tri_block]
         s_bc = s[:, tri_block : 2 * tri_block]
         s_ca = s[:, 2 * tri_block : 3 * tri_block]
@@ -523,6 +625,20 @@ def _trace_inkernel(
         blk_min = jnp.min(t_m, axis=1, keepdims=True)
         return t_m, blk_min
 
+    def compute_blk(blk, ops_slab=None):
+        """The per-block traversal math: (t_m (R, TB), blk_min (R, 1)).
+
+        ``ops_slab`` (streamed mode) is the block's whole (16, 4*TB)
+        operand slab already DMA'd into VMEM; otherwise it is sliced out
+        of the VMEM-resident pack."""
+        if ops_slab is None:
+            cols = pl.ds(
+                pl.multiple_of(blk * (4 * tri_block), 4 * tri_block),
+                4 * tri_block,
+            )
+            ops_slab = ops_ref[:, cols]
+        return accept_from_s(_mm(w16, ops_slab))
+
     def select_attrs(blk, t_m, attr_slab=None):
         """Winning attributes of this block: argmin one-hot contracted
         against the block's (16, TB) attr slab in one HIGHEST-precision
@@ -555,9 +671,22 @@ def _trace_inkernel(
         # kernel's pattern (trace.py:_nearest_hit_kernel) and carry
         # nothing.
         nb_w, list_at = worklist
-        best_ref, attrs_ref = scratch
-        best_ref[:] = jnp.full((r, 1), F_MAX, jnp.float32)
-        attrs_ref[:] = jnp.zeros((r, 16), jnp.float32)
+        if emit_gcol:
+            # deferred-select mode (r5): the kernel tracks only
+            # (best_t, winning global pack column); hit attributes are
+            # gathered and shading runs in XLA after the kernel — the
+            # argmin's integer select replaces the 6-pass HIGHEST
+            # attribute matmul, and the global column doubles as the
+            # exact (t, lowest-index) tie-break key.
+            assert stream is None, "deferred select is VMEM-resident only"
+            assert sub is not None, "deferred select rides the sub-block path"
+            best_ref, gcol_ref = scratch
+            best_ref[:] = jnp.full((r, 1), F_MAX, jnp.float32)
+            gcol_ref[:] = jnp.full((r, 1), jnp.int32(2**30))
+        else:
+            best_ref, attrs_ref = scratch
+            best_ref[:] = jnp.full((r, 1), F_MAX, jnp.float32)
+            attrs_ref[:] = jnp.zeros((r, 16), jnp.float32)
 
         if sub is not None:
             # Sub-block visit groups (r5): each worklist entry is a
@@ -573,6 +702,15 @@ def _trace_inkernel(
             assert stream is None, "sub-block mode is VMEM-resident only"
             assert sub_w * group == tri_block, (sub_w, group, tri_block)
             assert nb_w % group == 0, (nb_w, group)
+            mm_mode = "f32" if _interpret() else PRECISION_MODE
+            probe = BF16_PROBE
+            if probe and mm_mode != "bf16":
+                # hoist the ray-side split: loop-invariant across visits
+                w_hi = w16.astype(jnp.bfloat16)
+                if mm_mode == "bf16x3":
+                    w_lo = (w16 - w_hi.astype(jnp.float32)).astype(
+                        jnp.bfloat16
+                    )
 
             def visit_sub(j, _):
                 blk0 = list_at(j * group)
@@ -603,47 +741,149 @@ def _trace_inkernel(
                         ],
                         axis=1,
                     )  # (16, 4*tri_block)
-                    attr_slab = jnp.concatenate(
-                        [
-                            attr_ref[
-                                :,
-                                pl.ds(pl.multiple_of(s * sub_w, sub_w), sub_w),
-                            ]
-                            for s in subs
-                        ],
-                        axis=1,
-                    )  # (16, tri_block)
-                    t_m, blk_min = compute_blk(0, ops_slab=ops_slab)
-                    best0 = best_ref[:]
-                    improve_pre = (blk_min < best0) | (
-                        (blk_min == best0) & (blk_min < F_MAX)
-                    )
+                    if not emit_gcol:
+                        attr_slab = jnp.concatenate(
+                            [
+                                attr_ref[
+                                    :,
+                                    pl.ds(
+                                        pl.multiple_of(s * sub_w, sub_w),
+                                        sub_w,
+                                    ),
+                                ]
+                                for s in subs
+                            ],
+                            axis=1,
+                        )  # (16, tri_block)
 
-                    def do_update():
-                        new_attrs = select_attrs(0, t_m, attr_slab=attr_slab)
-                        best1 = best_ref[:]
-                        attrs1 = attrs_ref[:]
-                        improve = (blk_min < best1) | (
-                            (blk_min == best1)
-                            & (blk_min < F_MAX)
-                            & (new_attrs[:, 10:11] < attrs1[:, 10:11])
+                    def refine_and_update(s):
+                        t_m, blk_min = accept_from_s(s)
+                        if emit_gcol:
+                            # integer select of the winning GLOBAL pack
+                            # column: argmin over the group concat, then
+                            # slot -> sub id via an SMEM-scalar where
+                            # chain (r3's "Lane broadcast" limitation on
+                            # argmin arithmetic no longer reproduces —
+                            # verified by scripts/prof_r5_shade.py)
+                            local = jnp.argmin(t_m, axis=1).astype(
+                                jnp.int32
+                            )[:, None]
+                            slot = local // sub_w
+                            loc = jax.lax.rem(local, sub_w)
+                            base = jnp.full_like(slot, subs[0])
+                            for g in range(1, group):
+                                base = jnp.where(slot == g, subs[g], base)
+                            gcol = base * sub_w + loc
+                            best1 = best_ref[:]
+                            g1 = gcol_ref[:]
+                            improve = (blk_min < best1) | (
+                                (blk_min == best1)
+                                & (blk_min < F_MAX)
+                                & (gcol < g1)
+                            )
+                            best_ref[:] = jnp.where(improve, blk_min, best1)
+                            gcol_ref[:] = jnp.where(improve, gcol, g1)
+                            return
+                        best0 = best_ref[:]
+                        improve_pre = (blk_min < best0) | (
+                            (blk_min == best0) & (blk_min < F_MAX)
                         )
-                        best_ref[:] = jnp.where(improve, blk_min, best1)
-                        attrs_ref[:] = jnp.where(improve, new_attrs, attrs1)
 
-                    if SELECT_GATE:
-                        pl.when(jnp.any(improve_pre))(do_update)
+                        def do_update():
+                            new_attrs = select_attrs(
+                                0, t_m, attr_slab=attr_slab
+                            )
+                            best1 = best_ref[:]
+                            attrs1 = attrs_ref[:]
+                            improve = (blk_min < best1) | (
+                                (blk_min == best1)
+                                & (blk_min < F_MAX)
+                                & (new_attrs[:, 10:11] < attrs1[:, 10:11])
+                            )
+                            best_ref[:] = jnp.where(improve, blk_min, best1)
+                            attrs_ref[:] = jnp.where(improve, new_attrs, attrs1)
+
+                        if SELECT_GATE:
+                            pl.when(jnp.any(improve_pre))(do_update)
+                        else:
+                            do_update()
+
+                    if not probe:
+                        refine_and_update(_mm(w16, ops_slab))
                     else:
-                        do_update()
+                        # --- probe pass: hi*hi bf16 (1/3 of bf16x3), or
+                        # the exact product in f32/bf16 modes, with a
+                        # conservatively widened accept (see BF16_PROBE)
+                        dot = functools.partial(
+                            jnp.dot, preferred_element_type=jnp.float32
+                        )
+                        if mm_mode == "f32":
+                            sp = jnp.dot(
+                                w16, ops_slab,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
+                            )
+                        else:
+                            b_hi = ops_slab.astype(jnp.bfloat16)
+                            sp = dot(w_hi, b_hi)
+                        p_ab = sp[:, 0:tri_block]
+                        p_bc = sp[:, tri_block : 2 * tri_block]
+                        p_ca = sp[:, 2 * tri_block : 3 * tri_block]
+                        p_num = sp[:, 3 * tri_block :]
+                        det_p = p_ab + p_bc + p_ca
+                        absm = (
+                            jnp.abs(p_ab) + jnp.abs(p_bc) + jnp.abs(p_ca)
+                        )
+                        # exact-accepting lanes provably satisfy
+                        # |det| >= absm/3.1; below 0.25*absm the lane
+                        # cannot accept, above it the probe quotients are
+                        # trustworthy to ~3% relative
+                        safe = jnp.abs(det_p) > 0.25 * absm
+                        inv_p = 1.0 / det_p
+                        tp = p_num * inv_p
+                        up = p_ca * inv_p
+                        vp = p_ab * inv_p
+                        sl = PROBE_SLACK
+                        uv_ok = (
+                            jnp.minimum(up, vp) >= -EPS - sl
+                        ) & (jnp.maximum(up, up + vp) <= 1.0 + EPS + sl)
+                        t_ok = tp >= -EPS - sl * (1.0 + jnp.abs(tp))
+                        cand = uv_ok & t_ok & safe
+                        t_lb = jnp.where(
+                            cand, tp - sl * (1.0 + jnp.abs(tp)), F_MAX
+                        )
+                        lb_min = jnp.min(t_lb, axis=1, keepdims=True)
+                        best_p = best_ref[:]
+                        possible = (lb_min < best_p) | (
+                            (lb_min == best_p) & (lb_min < F_MAX)
+                        )
+
+                        @pl.when(jnp.any(possible))
+                        def _():
+                            if mm_mode == "f32" or mm_mode == "bf16":
+                                s = sp
+                            else:
+                                # remaining bf16x3 terms in _mm's exact
+                                # add order: (lo*hi + hi*lo) + hi*hi
+                                b_hi2 = ops_slab.astype(jnp.bfloat16)
+                                b_lo = (
+                                    ops_slab - b_hi2.astype(jnp.float32)
+                                ).astype(jnp.bfloat16)
+                                s = dot(w_lo, b_hi2)
+                                s = s + dot(w_hi, b_lo)
+                                s = s + sp
+                            refine_and_update(s)
 
                 return 0
 
             jax.lax.fori_loop(0, nb_w // group, visit_sub, 0)
+            if emit_gcol:
+                return best_ref[:], gcol_ref[:]
             best_t, attrs = best_ref[:], attrs_ref[:]
             if return_raw:
                 return best_t, attrs
             return (best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7],
-                    attrs[:, 7:10], attrs[:, 10:11])
+                    attrs[:, 7:10], attrs[:, 10:11], attrs[:, 11:12])
 
         if stream is not None:
             # Streamed mode: the operand pack lives in HBM; each worklist
@@ -734,7 +974,7 @@ def _trace_inkernel(
         if return_raw:
             return best_t, attrs
         return (best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7],
-                attrs[:, 7:10], attrs[:, 10:11])
+                attrs[:, 7:10], attrs[:, 10:11], attrs[:, 11:12])
 
     def visit_block(blk, carry):
         best_t, attrs = carry
@@ -863,7 +1103,7 @@ def _trace_inkernel(
         if return_raw:
             return best_t, attrs
         return (best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7],
-                attrs[:, 7:10], attrs[:, 10:11])
+                attrs[:, 7:10], attrs[:, 10:11], attrs[:, 11:12])
 
     init = (jnp.full((r, 1), F_MAX, jnp.float32),
             jnp.zeros((r, 16), jnp.float32))
@@ -892,16 +1132,16 @@ def _trace_inkernel(
         )
     if return_raw:
         return best_t, attrs
-    # [shade_n, mat_type, rgb, geom_n, idx+1] — see WorldTriangles.attr_rows
+    # [shade_n, mat_type, rgb, geom_n, idx+1, ri] — WorldTriangles.attr_rows
     return (best_t, attrs[:, 0:3], attrs[:, 3:4], attrs[:, 4:7],
-            attrs[:, 7:10], attrs[:, 10:11])
+            attrs[:, 7:10], attrs[:, 10:11], attrs[:, 11:12])
 
 
 def _megakernel(
     aabb_ref,  # SMEM (nb, 8)
     margin_ref,  # SMEM (1,)
     w_ref,  # (R, 16) primary pack [d, o x d, o, -1, 1, 0...]
-    prim_ref,  # (R, 12) primary hit [t, shade_n(3), mt, rgb(3), geom_n(3), idx+1]
+    prim_ref,  # (R, 16) primary hit [t, shade_n(3), mt, rgb(3), geom_n(3), idx+1, ri, 0(3)]
     u_ref,  # (R, 4*B) uniforms, bounce-major ((1, R, 4*B) when sample-batched)
     ops_ref,  # (16, 4*T)
     attr_ref,  # (16, T)
@@ -943,9 +1183,10 @@ def _megakernel(
             remaining = remaining_t.T
         if b == 0 and use_primary:
             if shade_t:
-                pt_ = prim_ref[:].T  # (12, R)
+                pt_ = prim_ref[:].T  # (16, R)
                 t_t, n_t = pt_[0:1], pt_[1:4]
                 mt_t, mc_t, gn_t = pt_[4:5], pt_[5:8], pt_[8:11]
+                ri_t = pt_[12:13]
             else:
                 t = prim_ref[:, 0:1]
                 n = prim_ref[:, 1:4]
@@ -953,6 +1194,7 @@ def _megakernel(
                 mc = prim_ref[:, 5:8]
                 gn = prim_ref[:, 8:11]
                 idx1 = prim_ref[:, 11:12]
+                ri = prim_ref[:, 12:13]
         elif shade_t:
             # sweep mode stays on the lax.cond/carry form: the scratch
             # variant measured 10.85 vs 11.04 Mrays/s here (the per-visit
@@ -967,8 +1209,9 @@ def _megakernel(
             at = attrs.T  # (16, R) — ONE relayout instead of 5 row slices
             t_t = best_t.T
             n_t, mt_t, mc_t, gn_t = at[0:3], at[3:4], at[4:7], at[7:10]
+            ri_t = at[11:12]
         else:
-            t, n, mt, mc, gn, idx1 = _trace_inkernel(
+            t, n, mt, mc, gn, idx1, ri = _trace_inkernel(
                 orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
                 tri_block, n_blocks, debug=debug,
             )
@@ -979,12 +1222,13 @@ def _megakernel(
         if shade_t:
             o_t, d_t, color_t, remaining_t = _shade_inkernel_t(
                 orig.T, dirn.T, color_t, remaining_t,
-                t_t, n_t, mt_t, mc_t, gn_t, u.T, parity,
+                t_t, n_t, mt_t, mc_t, gn_t, u.T, parity, ri=ri_t,
             )
             orig, dirn = o_t.T, d_t.T
         else:
             orig, dirn, color, remaining = _shade_inkernel(
-                orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity
+                orig, dirn, color, remaining, t, n, mt, mc, gn, u, parity,
+                ri=ri,
             )
 
     if shade_t:
@@ -1029,7 +1273,7 @@ def _attr_table(world: WorldTriangles):
 def _sample_pallas_call(
     world: WorldTriangles,
     w16: jax.Array,  # (N, 16)
-    prim: jax.Array,  # (N, 8)
+    prim: jax.Array,  # (N, 16)
     uniforms: jax.Array,  # (N, 4*B)
     margin: jax.Array,  # () f32
     max_bounces: int,
@@ -1058,7 +1302,7 @@ def _sample_pallas_call(
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((ray_tile, 16), lambda i, A, M: (i, 0)),
-            pl.BlockSpec((ray_tile, 12), lambda i, A, M: (i, 0)),
+            pl.BlockSpec((ray_tile, 16), lambda i, A, M: (i, 0)),
             pl.BlockSpec((ray_tile, ucols), lambda i, A, M: (i, 0)),
             pl.BlockSpec((16, world.fused_ops.shape[1]), lambda i, A, M: (0, 0)),
             pl.BlockSpec(_attr_table(world).shape, lambda i, A, M: (0, 0)),
@@ -1103,7 +1347,7 @@ def _sample_pallas_call(
 def _sample_pallas_call_batched(
     world: WorldTriangles,
     w16: jax.Array,  # (N, 16)
-    prim: jax.Array,  # (N, 12)
+    prim: jax.Array,  # (N, 16)
     uniforms: jax.Array,  # (ns, N, 4*B)
     margin: jax.Array,  # () f32
     max_bounces: int,
@@ -1128,7 +1372,7 @@ def _sample_pallas_call_batched(
         grid=(nt, ns),
         in_specs=[
             pl.BlockSpec((ray_tile, 16), lambda i, s, A, M: (i, 0)),
-            pl.BlockSpec((ray_tile, 12), lambda i, s, A, M: (i, 0)),
+            pl.BlockSpec((ray_tile, 16), lambda i, s, A, M: (i, 0)),
             pl.BlockSpec((1, ray_tile, ucols), lambda i, s, A, M: (s, i, 0)),
             pl.BlockSpec(
                 (16, world.fused_ops.shape[1]), lambda i, s, A, M: (0, 0)
@@ -1265,6 +1509,11 @@ def render_samples_fused(
 
     if use_primary:
         hits0 = trace_pallas(world, ro_p, rd_p)
+        ri0 = (
+            hits0.mat_ri[:, None]
+            if hits0.mat_ri is not None
+            else jnp.full((n_pad, 1), 1.5, jnp.float32)
+        )
         prim = jnp.concatenate(
             [
                 hits0.t[:, None],
@@ -1273,12 +1522,14 @@ def render_samples_fused(
                 hits0.mat_color,
                 hits0.geom_normal,
                 jnp.zeros((n_pad, 1), jnp.float32),
+                ri0,
+                jnp.zeros((n_pad, 3), jnp.float32),
             ],
             axis=1,
         )
         w16 = pack_rays(rd_p)
     else:
-        prim = jnp.zeros((n_pad, 12), jnp.float32)
+        prim = jnp.zeros((n_pad, 16), jnp.float32)
 
     if use_primary and SAMPLE_BATCH > 1 and n_samples > 1:
         # sample-batched grid (PERF_NOTES r3 lever 2): uniforms for up to
@@ -1409,20 +1660,21 @@ def _bounce_kernel(
             o_t, d_t, c_t, r_t = _shade_inkernel_t(
                 orig.T, dirn.T, color.T, remaining.T,
                 best_t.T, at[0:3], at[3:4], at[4:7], at[7:10],
-                u_ref[:].T, parity,
+                u_ref[:].T, parity, ri=at[11:12],
             )
             out_ref[:] = jnp.concatenate(
                 [o_t, d_t, c_t, r_t, jnp.zeros((6, r), jnp.float32)], axis=0
             ).T
         else:
-            t, n, mt, mc, gn, _ = _trace_inkernel(
+            t, n, mt, mc, gn, _, ri = _trace_inkernel(
                 orig, dirn, remaining, None, 0.0, ops_ref, attr_ref,
                 tri_block, 0, debug=debug,
                 worklist=(list_ref.shape[1], lambda j: list_ref[i, j]),
                 scratch=(best_sc, attrs_sc), stream=stream, sub=sub,
             )
             orig, dirn, color, remaining = _shade_inkernel(
-                orig, dirn, color, remaining, t, n, mt, mc, gn, u_ref[:], parity
+                orig, dirn, color, remaining, t, n, mt, mc, gn, u_ref[:],
+                parity, ri=ri,
             )
             out_ref[:] = jnp.concatenate(
                 [orig, dirn, color, remaining, jnp.zeros((r, 6), jnp.float32)],
@@ -1525,6 +1777,146 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
     return out
 
 
+def _bounce_trace_kernel(
+    nlive_ref,  # SMEM (nt,) i32
+    list_ref,  # SMEM (nt, nsb) i32 grouped sub-block worklists
+    st_ref,  # (R, 16) ray state pack
+    ops_ref,  # (16, 4*T) VMEM-resident operand pack
+    out_ref,  # (R, 2) [best_t, gcol+1 (0 = miss)]
+    best_sc,  # scratch VMEM (R, 1) f32
+    gcol_sc,  # scratch VMEM (R, 1) i32
+    *,
+    tri_block: int,
+    sub_group: int,
+    debug: bool = False,
+):
+    """Trace-only binned bounce (deferred shading, r5): nearest hit +
+    winning global pack column; attribute gather + shading happen in XLA
+    after the kernel (see DEFER_SHADE)."""
+    i = pl.program_id(0)
+    r = st_ref.shape[0]
+
+    @pl.when(nlive_ref[i] == 0)
+    def _():
+        out_ref[:] = jnp.concatenate(
+            [jnp.full((r, 1), F_MAX, jnp.float32),
+             jnp.zeros((r, 1), jnp.float32)], axis=1
+        )
+
+    @pl.when(nlive_ref[i] > 0)
+    def _():
+        orig = st_ref[:, 0:3]
+        dirn = st_ref[:, 3:6]
+        remaining = st_ref[:, 9:10]
+        best_t, gcol = _trace_inkernel(
+            orig, dirn, remaining, None, 0.0, ops_ref, None,
+            tri_block, 0, debug=debug,
+            worklist=(list_ref.shape[1], lambda j: list_ref[i, j]),
+            scratch=(best_sc, gcol_sc), sub=(SUB_BLOCK, sub_group),
+            emit_gcol=True,
+        )
+        hit = best_t < F_MAX
+        out_ref[:] = jnp.concatenate(
+            [best_t, jnp.where(hit, gcol.astype(jnp.float32) + 1.0, 0.0)],
+            axis=1,
+        )
+
+
+def _bounce_trace_call(world, margin, pack, ray_tile, debug=False):
+    """(N, 2) [best_t, gcol+1] for one deferred-shading bounce."""
+    from .trace import _group_sub_lists, _tile_block_lists, max_list_tiles
+
+    n = pack.shape[0]
+    tri_block = world.tri_block
+    nt = n // ray_tile
+    sub_group = tri_block // SUB_BLOCK
+
+    max_tiles = max_list_tiles(world.sub_aabb.shape[0])
+    if nt > max_tiles:
+        chunk = max_tiles * ray_tile
+        outs = [
+            _bounce_trace_call(world, margin, pack[s0:s0 + chunk],
+                               ray_tile, debug=debug)
+            for s0 in range(0, n, chunk)
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    orig = pack[:, 0:3]
+    d_n = pack[:, 3:6] * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(pack[:, 3:6] ** 2, axis=1, keepdims=True), 1e-30)
+    )
+    alive_f = (pack[:, 9:10] > 0.0).astype(jnp.float32)
+    sub_lists = _tile_block_lists(
+        world.sub_aabb, orig, d_n, alive_f, ray_tile, margin
+    )
+    block_list = _group_sub_lists(sub_lists, sub_group)
+    nlive = jnp.sum(alive_f.reshape(nt, ray_tile).astype(jnp.int32), axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((ray_tile, 16), lambda i, L, W: (i, 0)),
+            pl.BlockSpec(
+                (16, world.fused_ops.shape[1]), lambda i, L, W: (0, 0)
+            ),
+        ],
+        out_specs=[pl.BlockSpec((ray_tile, 2), lambda i, L, W: (i, 0))],
+        scratch_shapes=[
+            pltpu.VMEM((ray_tile, 1), jnp.float32),
+            pltpu.VMEM((ray_tile, 1), jnp.int32),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        functools.partial(
+            _bounce_trace_kernel, tri_block=tri_block, sub_group=sub_group,
+            debug=debug,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, 2), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(nlive, block_list, pack, world.fused_ops)
+    return out
+
+
+def _bounce_defer(world, margin, pack, u, parity, ray_tile, debug=False):
+    """One deferred-shading bounce: trace kernel -> XLA attr gather +
+    wavefront shade -> repacked state.  Same uniform-column consumption as
+    the fused kernels, so images agree with the other engines."""
+    from ..ops.intersect import HitRecord
+    from ..render.shade import RayState, shade
+
+    tg = _bounce_trace_call(world, margin, pack, ray_tile, debug=debug)
+    t = tg[:, 0]
+    g1 = tg[:, 1].astype(jnp.int32)
+    hit = g1 > 0
+    idx = jnp.maximum(g1 - 1, 0)
+    a = world.attr_rows.T[idx]  # (N, 16) row gather of the winning column
+    rec = HitRecord(
+        t=jnp.where(hit, t, F_MAX),
+        normal=jnp.where(hit[:, None], a[:, 0:3], 0.0),
+        mat_type=jnp.where(hit, a[:, 3].astype(jnp.int32), 0),
+        mat_color=jnp.where(hit[:, None], a[:, 4:7], 0.0),
+        geom_normal=jnp.where(hit[:, None], a[:, 7:10], 0.0),
+        mat_ri=jnp.where(hit, a[:, 11], 1.5),
+    )
+    state = RayState(
+        orig=pack[:, 0:3],
+        dir=pack[:, 3:6],
+        color=pack[:, 6:9],
+        remaining=pack[:, 9].astype(jnp.int32),
+    )
+    state = shade(state, rec, u, parity=parity)
+    n = pack.shape[0]
+    return jnp.concatenate(
+        [state.orig, state.dir, state.color,
+         state.remaining.astype(jnp.float32)[:, None],
+         jnp.zeros((n, 6), jnp.float32)],
+        axis=1,
+    )
+
+
 def _sort_keys(pack, lo, hi):
     """(N,) i32 sort key: 3-bit direction octant (major), 21-bit origin
     Morton (minor); dead rays sink to the end.
@@ -1613,8 +2005,17 @@ def render_samples_binned(
                 pack = pack[perm]
                 pix = pix[perm]
             u_b = u_all[:, 4 * b : 4 * b + 4][pix]
-            pack = _bounce_call(world, margin, pack, u_b, parity, ray_tile,
-                                debug=debug)
+            if (
+                DEFER_SHADE
+                and world.sub_aabb is not None
+                and world.block_aabb.shape[0] <= STREAM_BLOCKS
+                and world.tri_block > SUB_BLOCK
+            ):
+                pack = _bounce_defer(world, margin, pack, u_b, parity,
+                                     ray_tile, debug=debug)
+            else:
+                pack = _bounce_call(world, margin, pack, u_b, parity,
+                                    ray_tile, debug=debug)
         contrib = jnp.sqrt(jnp.maximum(pack[:, 6:9], 0.0))
         # un-permute by inverse-permutation GATHER: the row scatter
         # (.at[pix].set) measured 35 ms/sample on v5e vs ~11 for

@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants
 from ..ops.intersect import HitRecord
-from ..ops.math import normalize
+from ..ops.math import normalize, normalize_guarded
 from ..scene.types import WorldTriangles
 
 F_MAX = constants.FLOAT_MAX
@@ -696,7 +696,12 @@ def trace_pallas(
         mat_type=jnp.where(hit, world.mat_type[idx], 0),
         mat_color=jnp.where(hit[:, None], world.mat_color[idx], 0.0),
         geom_normal=jnp.where(
-            hit[:, None], normalize(world.plane_n[idx], eps=1e-30), 0.0
+            hit[:, None], normalize_guarded(world.plane_n[idx]), 0.0
+        ),
+        mat_ri=(
+            jnp.where(hit, world.mat_ri[idx], 1.5)
+            if world.mat_ri is not None
+            else None
         ),
     )
     if return_idx:

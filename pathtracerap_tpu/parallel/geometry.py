@@ -31,7 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import constants
 from ..ops.intersect import HitRecord
-from ..ops.math import normalize
+from ..ops.math import normalize, normalize_guarded
 from ..scene.types import SceneDevice, WorldTriangles
 
 F_MAX = constants.FLOAT_MAX
@@ -117,8 +117,13 @@ def make_geometry_sharded_tracer_fused(n_dev: int, axis: str = "shard"):
             mat_color=jnp.where(hit[:, None], world_l.mat_color[best_idx], 0.0),
             geom_normal=jnp.where(
                 hit[:, None],
-                normalize(world_l.plane_n[best_idx], eps=1e-30),
+                normalize_guarded(world_l.plane_n[best_idx]),
                 0.0,
+            ),
+            mat_ri=(
+                jnp.where(hit, world_l.mat_ri[best_idx], 1.5)
+                if world_l.mat_ri is not None
+                else None
             ),
         )
         if return_idx:
@@ -227,8 +232,13 @@ def make_geometry_sharded_tracer(n_dev: int, axis: str = "shard"):
             mat_color=jnp.where(hit[:, None], world_l.mat_color[best_idx], 0.0),
             geom_normal=jnp.where(
                 hit[:, None],
-                normalize(world_l.plane_n[best_idx], eps=1e-30),
+                normalize_guarded(world_l.plane_n[best_idx]),
                 0.0,
+            ),
+            mat_ri=(
+                jnp.where(hit, world_l.mat_ri[best_idx], 1.5)
+                if world_l.mat_ri is not None
+                else None
             ),
         )
 

@@ -20,7 +20,12 @@ from flax import struct
 from .. import constants
 from ..ops.intersect import HitRecord
 from ..ops.math import normalize, reflect_parity, reflect_standard
-from ..ops.sampling import coat_scatter, cosine_hemisphere, metal_scatter
+from ..ops.sampling import (
+    coat_scatter,
+    cosine_hemisphere,
+    metal_scatter,
+    refract_scatter,
+)
 from ..scene.types import MaterialType
 
 F_MAX = constants.FLOAT_MAX
@@ -55,7 +60,14 @@ def shade(state: RayState, hits: HitRecord, uniforms: jax.Array, parity: bool = 
     """
     alive = state.remaining > 0
     hit = hits.t < F_MAX
-    n = hits.normal
+    # Every scatter candidate is computed for every lane before masking;
+    # miss lanes carry ZERO normals, and normalize(cross(0, seed)) inside
+    # the samplers is NaN in forward AND reverse mode (a zero cotangent
+    # does not stop a NaN from propagating through jnp.where's VJP) —
+    # substitute a harmless unit normal on non-hit lanes.  Values are
+    # unchanged: every state update is masked by ``shaded = alive & hit``.
+    unit_z = jnp.zeros_like(hits.normal).at[..., 2].set(1.0)
+    n = jnp.where(hit[:, None], hits.normal, unit_z)
     u = uniforms
 
     d = normalize(state.dir)
@@ -87,8 +99,34 @@ def shade(state: RayState, hits: HitRecord, uniforms: jax.Array, parity: bool = 
         ),
     )
 
-    # SPECULAR / REFRACTIVE have no shading branch in the reference: the ray
-    # keeps its direction and origin and just burns a bounce.
+    if not parity:
+        # quality mode shades the two materials the reference declares but
+        # never branches on (Primitive.h:70-84 vs Renderer.cpp:433-467):
+        # SPECULAR = perfect mirror, REFRACTIVE = Fresnel-roulette
+        # dielectric using the data model's refractive_index
+        is_specular = mt == int(MaterialType.SPECULAR)
+        is_refractive = mt == int(MaterialType.REFRACTIVE)
+        ri = (
+            hits.mat_ri[:, None]
+            if hits.mat_ri is not None
+            else jnp.full_like(hits.t[:, None], 1.5)
+        )
+        dir_refr, orient = refract_scatter(n, d, ri, u[:, 3])
+        scatters = scatters | is_specular | is_refractive
+        new_dir = jnp.where(
+            is_refractive[:, None],
+            dir_refr,
+            jnp.where(is_specular[:, None], dir_refl, new_dir),
+        )
+        # transmitted rays must spawn BELOW the surface
+        spawn = jnp.where(
+            is_refractive[:, None],
+            pt + constants.SPAWN_OFFSET * orient * n,
+            spawn,
+        )
+    # In parity mode SPECULAR / REFRACTIVE have no shading branch, exactly
+    # like the reference: the ray keeps its direction and origin and just
+    # burns a bounce.
     shaded = alive & hit
     upd_dir = shaded & scatters
     upd_col = shaded & (scatters | is_emissive)
@@ -103,6 +141,7 @@ def shade(state: RayState, hits: HitRecord, uniforms: jax.Array, parity: bool = 
         # vertex-position gradients (see HitRecord.geom_normal; against the
         # shading normal the factor is identically sqrt(u0)).
         gn = hits.geom_normal if hits.geom_normal is not None else n
+        gn = jnp.where(hit[:, None], gn, unit_z)  # same miss-lane guard
         cosf = jnp.sum(dir_diffuse * gn, axis=-1, keepdims=True)
         mat_c = mat_c * jnp.where(is_diffuse[:, None], jnp.maximum(cosf, 0.0), 1.0)
     color = jnp.where(upd_col[:, None], state.color * mat_c, state.color)

@@ -44,20 +44,19 @@ def effective_engine(engine: str, world, jitter: bool, n_rays=None) -> str:
       caps scene size) -> per-bounce blocked-DMA ``pallas`` engine;
     * ``binned`` with the jittered quality camera -> ``fused`` (binning
       relies on the deterministic primary-hit cache);
-    * ``fused`` on a many-block scene -> ``binned``: the whole-sample
+    * ``fused`` on a multi-block scene -> ``binned``: the whole-sample
       megakernel sweeps every block per bounce (branch-free by design);
       the per-bounce worklist engine sorts the wavefront and visits only
-      the reachable blocks.  r4 measured crossover (v5e,
-      scratch-predicated worklist kernels): the engines TIE at 8 blocks
-      (11.04 vs 11.04, reference scene), binned wins at 18 blocks
-      (multimesh 20.2 vs 14.8, +37%) and decisively at 287 (highpoly 9.2
-      vs the r3 dense fallback's 0.5) — switch above 8 blocks, where the
-      tie breaks (r3 VERDICT weak item 7: the old 64 was a guess between
-      two far-apart data points; 8/18/287 now pin it).  The tie at 8
-      blocks is also resolution-dependent: at 1024x1024 the SAME scene
-      prefers binned (12.91 vs 9.99 — more rays deepen the sorted
-      coherence + dead-tile-skip payoff), so big wavefronts route binned
-      even at small block counts when ``n_rays`` is known.
+      the reachable 128-triangle sub-blocks (r5).  r5 measured crossover
+      (v5e, sub-block worklist kernels, one harness): the reference scene
+      (8 blocks, 800k rays) routes binned decisively — 15.38 vs the fused
+      sweep's 11.41 Mrays/s — and binned's lead only grows with block
+      count (r4: multimesh 18 blocks +37%, highpoly 287 blocks 18x vs the
+      dense fallback).  Only a single-block scene (nothing to cull —
+      cornell-scale) keeps the fused sweep, which skips the per-bounce
+      sort/worklist glue entirely.  ``n_rays`` is retained for API
+      stability (r4's >=1M-ray special case is subsumed: binned now wins
+      at every multi-block wavefront size measured).
     """
     if engine not in ("fused", "binned"):
         return engine
@@ -67,7 +66,7 @@ def effective_engine(engine: str, world, jitter: bool, n_rays=None) -> str:
         return "fused"
     if engine == "fused" and not jitter:
         nb = world.block_aabb.shape[0]
-        if nb > 8 or (nb >= 2 and n_rays is not None and n_rays >= 1_000_000):
+        if nb >= 2:
             return "binned"
     return engine
 
@@ -406,7 +405,7 @@ class Renderer:
                 accum = jnp.asarray(ck.accum)
                 done = ck.samples_done
 
-        if metrics is not None and done == 0:
+        if metrics is not None and getattr(metrics, "enabled", True) and done == 0:
             from .diagnostics import live_ray_curve
 
             metrics.record_live_curve(live_ray_curve(self.scene, cfg, key))

@@ -237,6 +237,11 @@ def render_config_from_parsed(p: ParsedScene, **overrides) -> RenderConfig:
         kw["max_bounces"] = int(r["bounces"])
     if "engine" in r:
         kw["engine"] = str(r["engine"])
+    if "quality" in r:
+        # quality mode: parity quirks off — AA jitter stays a CAMERA-block
+        # choice, but SPECULAR/REFRACTIVE get real BSDFs (r5) and diffuse
+        # the cosine factor (render/shade.py)
+        kw["parity"] = not bool(r["quality"])
     if p.camera is not None:
         kw["camera"] = p.camera
     kw.update(overrides)

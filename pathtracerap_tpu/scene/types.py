@@ -145,6 +145,9 @@ class SceneHost:
             world_to_model=as_jnp(self.world_to_model),
             mat_type=as_jnp(self.mat_type),
             mat_color=as_jnp(self.mat_color),
+            mat_refractive_index=as_jnp(
+                np.asarray(self.mat_refractive_index, np.float32)
+            ),
             grid_mesh=as_jnp(self.grid_mesh),
             grid_voxel_start=as_jnp(self.grid_voxel_start),
             grid_voxel_width=as_jnp(self.grid_voxel_width),
@@ -181,6 +184,10 @@ class SceneDevice:
     voxel_tris_ell: jax.Array
     world_tri_src: jax.Array  # (Tw,) i32 global triangle per world instance tri
     world_tri_model: jax.Array  # (Tw,) i32 owning model instance
+    # per-model-instance index of refraction (Primitive.h:73 carries it in
+    # the data model; quality-mode REFRACTIVE shading reads it, r5).  None
+    # for legacy constructions => all materials treated as ior 1.5.
+    mat_refractive_index: jax.Array | None = None
     grid_dims: tuple = struct.field(pytree_node=False, default=(25, 25, 25))
     # number of REAL instanced triangles in world_tri_src (entries >= 0) — a
     # static count the bake uses to drop pure-padding traversal blocks
@@ -259,6 +266,9 @@ class WorldTriangles:
     # r5 sub-block worklists cull at this 4x finer granularity while the
     # kernel still visits groups of 4 sub-blocks per 512-wide MXU sweep.
     sub_aabb: jax.Array | None = None  # (nsb, 8) f32
+    # (T,) f32 per-triangle index of refraction (quality-mode REFRACTIVE
+    # shading, r5); also baked into attr_rows row 11 for the megakernel
+    mat_ri: jax.Array | None = None
     # Static block geometry.  ``block_aabb`` holds ONLY blocks containing
     # real triangles: a pure-padding block's "inverted" AABB is NOT
     # unhittable under the min/max-swapped slab test (the swap turns it

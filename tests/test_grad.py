@@ -353,3 +353,57 @@ def test_sharded_train_step_masks_padding_rays():
         np.asarray(params["mat_color"] - 0.05 * g_ref["mat_color"]),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_refractive_scene_gradients_match_finite_difference():
+    """VERDICT r4 item 8: quality-mode REFRACTIVE/SPECULAR shading is
+    differentiable — pixel-loss mat_color gradients through the glass
+    scene FD-check.  (The Fresnel roulette depends on ior and the frozen
+    uniforms, not on mat_color, so the estimator is smooth in the
+    parameters being checked.)"""
+    import os
+
+    from pathtracerap_tpu.scene.dsl import load_scene_file
+
+    scn = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scenes", "glass_sphere.scn",
+    )
+    dev = load_scene_file(scn).scene.to_device()
+    from pathtracerap_tpu.config import CameraConfig
+
+    cam = CameraConfig(position=(0.0, 0.0, 110.0), plane_x=(-45.0, 45.0),
+                       plane_y=(-38.0, 30.0), plane_z=60.0)
+    res = (24, 18)
+    key = jax.random.PRNGKey(7)
+    params = extract_params(dev, ("mat_color",))
+    target = jnp.zeros((res[0] * res[1], 3), jnp.float32)
+
+    def f(p):
+        return image_loss(
+            p, dev, target, key, cam, res, 2, 4, tile_size=144,
+            parity=False,
+        )
+
+    g = np.asarray(jax.jit(jax.grad(f))(params)["mat_color"])
+    assert np.isfinite(g).all()
+    # the glass material's color must carry gradient (rays pass through it)
+    assert np.abs(g).max() > 0.0
+
+    f_jit = jax.jit(f)
+    base = np.asarray(params["mat_color"])
+    rng = np.random.default_rng(1)
+    checked = 0
+    for _ in range(8):
+        i = rng.integers(0, base.shape[0])
+        c = rng.integers(0, 3)
+        if abs(g[i, c]) < 1e-6:
+            continue
+        eps = 1e-3
+        p_hi = base.copy(); p_hi[i, c] += eps
+        p_lo = base.copy(); p_lo[i, c] -= eps
+        fd = (float(f_jit({"mat_color": jnp.asarray(p_hi)}))
+              - float(f_jit({"mat_color": jnp.asarray(p_lo)}))) / (2 * eps)
+        np.testing.assert_allclose(g[i, c], fd, rtol=5e-2, atol=1e-4)
+        checked += 1
+    assert checked >= 2
