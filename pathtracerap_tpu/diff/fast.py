@@ -33,6 +33,52 @@ from ..scene.types import MaterialType, WorldTriangles
 
 F_MAX = constants.FLOAT_MAX
 
+import os as _os
+
+# Backward strategy for the replay's geometry row gathers (v0/e1/e2/
+# shade_normal): the VJP of ``table[idx]`` is a scatter-add of 800k rows
+# into the (T, 3) table — serialized on TPU (the r3 fwd+bwd bottleneck
+# that the one-hot mat_table matmul already removed for COLORS; VERDICT
+# r4 item 7 asks for the geometry rows).  With ``PTAP_SEGMENT_VJP=1``
+# (default) the cotangent reduction is computed scatter-FREE: sort the
+# frozen indices once, prefix-sum the sorted cotangents, and difference
+# the prefix at segment boundaries (searchsorted) — O(N log N) sort +
+# O(N) cumsum, fully vectorized and deterministic.
+_SEGMENT_VJP = _os.environ.get("PTAP_SEGMENT_VJP", "1") == "1"
+
+
+@jax.custom_vjp
+def _gather_rows(table, idx):
+    return table[idx]
+
+
+def _gather_rows_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _gather_rows_bwd(res, g):
+    idx, t_rows = res
+    order = jnp.argsort(idx)
+    gs = g[order]
+    ids = idx[order]
+    pref = jnp.concatenate(
+        [jnp.zeros((1, g.shape[1]), g.dtype), jnp.cumsum(gs, axis=0)],
+        axis=0,
+    )
+    bounds = jnp.searchsorted(ids, jnp.arange(t_rows + 1))
+    seg = pref[bounds[1:]] - pref[bounds[:-1]]
+    return seg, None
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+def _diff_gather(table, idx):
+    """Differentiable row gather with the configured backward."""
+    if _SEGMENT_VJP:
+        return _gather_rows(table, idx)
+    return table[idx]
+
 
 def hit_from_index(
     world: WorldTriangles, ro: jax.Array, rd_n: jax.Array, idx: jax.Array,
@@ -43,9 +89,9 @@ def hit_from_index(
     Moeller-Trumbore with the triangle's (v0, e1, e2); ``hit`` masks lanes
     whose kernel trace missed (their values are the miss sentinels, whose
     gradient is zero by construction of the ``where``)."""
-    v0 = world.v0[idx]
-    e1 = world.e1[idx]
-    e2 = world.e2[idx]
+    v0 = _diff_gather(world.v0, idx)
+    e1 = _diff_gather(world.e1, idx)
+    e2 = _diff_gather(world.e2, idx)
     pvec = jnp.cross(rd_n, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
     safe = jnp.where(det == 0.0, 1.0, det)
@@ -71,7 +117,9 @@ def hit_from_index(
 
     return HitRecord(
         t=jnp.where(hit, t, F_MAX),
-        normal=jnp.where(hit[:, None], world.shade_normal[idx], 0.0),
+        normal=jnp.where(
+            hit[:, None], _diff_gather(world.shade_normal, idx), 0.0
+        ),
         mat_type=jnp.where(hit, world.mat_type[idx], 0),
         mat_color=jnp.where(hit[:, None], mat_color, 0.0),
         # geometric normal straight from positions — the quality-mode

@@ -1662,9 +1662,7 @@ def _bounce_kernel(
                 best_t.T, at[0:3], at[3:4], at[4:7], at[7:10],
                 u_ref[:].T, parity, ri=at[11:12],
             )
-            out_ref[:] = jnp.concatenate(
-                [o_t, d_t, c_t, r_t, jnp.zeros((6, r), jnp.float32)], axis=0
-            ).T
+            out_ref[:] = jnp.concatenate([o_t, d_t, c_t, r_t], axis=0).T
         else:
             t, n, mt, mc, gn, _, ri = _trace_inkernel(
                 orig, dirn, remaining, None, 0.0, ops_ref, attr_ref,
@@ -1677,8 +1675,7 @@ def _bounce_kernel(
                 parity, ri=ri,
             )
             out_ref[:] = jnp.concatenate(
-                [orig, dirn, color, remaining, jnp.zeros((r, 6), jnp.float32)],
-                axis=1,
+                [orig, dirn, color, remaining], axis=1
             )
 
 
@@ -1756,12 +1753,14 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
         num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((ray_tile, 16), lambda i, L, W: (i, 0)),
+            pl.BlockSpec((ray_tile, pack.shape[1]), lambda i, L, W: (i, 0)),
             pl.BlockSpec((ray_tile, 4), lambda i, L, W: (i, 0)),
             ops_spec,
             attr_spec,
         ],
-        out_specs=[pl.BlockSpec((ray_tile, 16), lambda i, L, W: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((ray_tile, pack.shape[1]), lambda i, L, W: (i, 0))
+        ],
         scratch_shapes=scratch_shapes,
     )
     (out,) = pl.pallas_call(
@@ -1770,7 +1769,7 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
             streamed=streamed, sub_group=sub_group,
         ),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n, 16), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((n, pack.shape[1]), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(nlive, block_list, pack, u, world.fused_ops, _attr_table(world))
@@ -1856,7 +1855,7 @@ def _bounce_trace_call(world, margin, pack, ray_tile, debug=False):
         num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((ray_tile, 16), lambda i, L, W: (i, 0)),
+            pl.BlockSpec((ray_tile, pack.shape[1]), lambda i, L, W: (i, 0)),
             pl.BlockSpec(
                 (16, world.fused_ops.shape[1]), lambda i, L, W: (0, 0)
             ),
@@ -1908,36 +1907,50 @@ def _bounce_defer(world, margin, pack, u, parity, ray_tile, debug=False):
         remaining=pack[:, 9].astype(jnp.int32),
     )
     state = shade(state, rec, u, parity=parity)
-    n = pack.shape[0]
     return jnp.concatenate(
         [state.orig, state.dir, state.color,
-         state.remaining.astype(jnp.float32)[:, None],
-         jnp.zeros((n, 6), jnp.float32)],
+         state.remaining.astype(jnp.float32)[:, None]],
         axis=1,
     )
 
 
-def _sort_keys(pack, lo, hi):
-    """(N,) i32 sort key: 3-bit direction octant (major), 21-bit origin
-    Morton (minor); dead rays sink to the end.
+# Wavefront sort key granularity (A/B via PTAP_SORT_KEY):
+#   "oct21" — 3-bit direction octant (major) + 21-bit origin Morton.
+#   "dir6"  — 6-bit direction quantization (4 levels/axis of the
+#             normalized direction) + 21-bit origin Morton: finer
+#             direction cones per tile, at the cost of more origin
+#             scatter within each cone.
+SORT_KEY = _os.environ.get("PTAP_SORT_KEY", "oct21")
 
-    Octant-major, not origin-major: measured per-live-tile slab-reachable
-    blocks on the reference scene's secondary bounces are ~5.5/8 under
-    octant-major vs ~7.7/8 under origin-major (scripts/prof_r3_visits.py)
-    — a tile's block-union frustum is dominated by direction spread, not
-    origin spread."""
+
+def _sort_keys(pack, lo, hi):
+    """(N,) i32 sort key: direction bits (major), 21-bit origin Morton
+    (minor); dead rays sink to the end.
+
+    Direction-major, not origin-major: measured per-live-tile
+    slab-reachable blocks on the reference scene's secondary bounces are
+    ~5.5/8 under octant-major vs ~7.7/8 under origin-major
+    (scripts/prof_r3_visits.py) — a tile's block-union frustum is
+    dominated by direction spread, not origin spread."""
     from ..ops.plucker import _morton3
 
     orig = pack[:, 0:3]
     d = pack[:, 3:6]
     alive = pack[:, 9] > 0.0
     morton = _morton3(orig, lo, hi) >> 9  # 21 bits
-    oct_ = (
-        (d[:, 0] < 0).astype(jnp.int32) * 4
-        + (d[:, 1] < 0).astype(jnp.int32) * 2
-        + (d[:, 2] < 0).astype(jnp.int32)
-    )
-    key = (oct_ << 21) | morton
+    if SORT_KEY == "dir6":
+        dn = d * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(d * d, axis=1, keepdims=True), 1e-30)
+        )
+        q = jnp.clip(((dn + 1.0) * 2.0).astype(jnp.int32), 0, 3)  # (N, 3)
+        dirk = (q[:, 0] << 4) | (q[:, 1] << 2) | q[:, 2]  # 6 bits
+    else:
+        dirk = (
+            (d[:, 0] < 0).astype(jnp.int32) * 4
+            + (d[:, 1] < 0).astype(jnp.int32) * 2
+            + (d[:, 2] < 0).astype(jnp.int32)
+        )
+    key = (dirk << 21) | morton
     return jnp.where(alive, key, jnp.int32(1 << 30))
 
 
@@ -1987,10 +2000,11 @@ def render_samples_binned(
         u_all = chunk_uniforms(key, s, max_bounces, n, n_pad, tile_base)
         state = RayState.primary(ro_p, rd_p, max_bounces)
         state = shade(state, hits0, u_all[:, 0:4], parity=parity)
+        # 10 columns [orig, dir, color, remaining] — no padding tail:
+        # the per-bounce argsort row gather pays per real column (r5)
         pack = jnp.concatenate(
             [state.orig, state.dir, state.color,
-             state.remaining.astype(jnp.float32)[:, None],
-             jnp.zeros((n_pad, 6), jnp.float32)],
+             state.remaining.astype(jnp.float32)[:, None]],
             axis=1,
         )
         pix = jnp.arange(n_pad, dtype=jnp.int32)
