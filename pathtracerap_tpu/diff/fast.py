@@ -40,11 +40,16 @@ import os as _os
 # into the (T, 3) table — serialized on TPU (the r3 fwd+bwd bottleneck
 # that the one-hot mat_table matmul already removed for COLORS; VERDICT
 # r4 item 7 asks for the geometry rows).  With ``PTAP_SEGMENT_VJP=1``
-# (default) the cotangent reduction is computed scatter-FREE: sort the
-# frozen indices once, prefix-sum the sorted cotangents, and difference
-# the prefix at segment boundaries (searchsorted) — O(N log N) sort +
-# O(N) cumsum, fully vectorized and deterministic.
-_SEGMENT_VJP = _os.environ.get("PTAP_SEGMENT_VJP", "1") == "1"
+# the cotangent reduction is computed scatter-FREE: sort the frozen
+# indices once, prefix-sum the sorted cotangents, and difference the
+# prefix at segment boundaries (searchsorted) — O(N log N) sort + O(N)
+# cumsum, fully vectorized and deterministic.  Default OFF: measured r5
+# (vertex fwd+bwd, reference workload, scripts/prof_r5_diff.py) the
+# native scatter-add backward reaches 5.85 Mrays/s vs the segment path's
+# 5.55 — XLA's TPU scatter-add is no longer the r3-era serialized
+# bottleneck, and the segment path's per-bounce argsort eats its win.
+# The ONE fused (T, 12) geometry gather below helps BOTH backends.
+_SEGMENT_VJP = _os.environ.get("PTAP_SEGMENT_VJP", "0") == "1"
 
 
 @jax.custom_vjp
@@ -89,9 +94,17 @@ def hit_from_index(
     Moeller-Trumbore with the triangle's (v0, e1, e2); ``hit`` masks lanes
     whose kernel trace missed (their values are the miss sentinels, whose
     gradient is zero by construction of the ``where``)."""
-    v0 = _diff_gather(world.v0, idx)
-    e1 = _diff_gather(world.e1, idx)
-    e2 = _diff_gather(world.e2, idx)
+    # ONE fused gather for all four geometry tables: whichever backward
+    # runs (scatter-add or the sorted segment-sum), it pays once for a
+    # (N, 12) cotangent instead of four times for (N, 3) ones
+    geo = jnp.concatenate(
+        [world.v0, world.e1, world.e2, world.shade_normal], axis=1
+    )  # (T, 12)
+    rows = _diff_gather(geo, idx)
+    v0 = rows[:, 0:3]
+    e1 = rows[:, 3:6]
+    e2 = rows[:, 6:9]
+    nsh = rows[:, 9:12]
     pvec = jnp.cross(rd_n, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
     safe = jnp.where(det == 0.0, 1.0, det)
@@ -117,9 +130,7 @@ def hit_from_index(
 
     return HitRecord(
         t=jnp.where(hit, t, F_MAX),
-        normal=jnp.where(
-            hit[:, None], _diff_gather(world.shade_normal, idx), 0.0
-        ),
+        normal=jnp.where(hit[:, None], nsh, 0.0),
         mat_type=jnp.where(hit, world.mat_type[idx], 0),
         mat_color=jnp.where(hit[:, None], mat_color, 0.0),
         # geometric normal straight from positions — the quality-mode
@@ -307,13 +318,64 @@ def render_samples_fused_diff(
             state = shade(state, rec, u[:, 4 * b : 4 * b + 4], parity=parity)
         return gather_contribution(state)
 
+    # Frozen-topology producer: the fused megakernel's emit_idx pass, or —
+    # when the sub-block worklist path exists — the BINNED deferred-trace
+    # forward, which is the measured-fastest forward on multi-block scenes
+    # (r5: 15.4 vs the fused sweep's 11.4 Mrays/s).  Both produce the
+    # identical per-bounce winning-index stream (same accept logic, same
+    # (t, lowest-global-index) tie contract, same uniform columns), so the
+    # replayed contribution is the same; A/B via PTAP_DIFF_FORWARD.
+    from ..pallas import megakernel as MK
+
+    fw = _os.environ.get("PTAP_DIFF_FORWARD", "auto")
+    use_binned_fw = (
+        fw != "fused"
+        and sworld.sub_aabb is not None
+        and sworld.block_aabb.shape[0] >= 2
+        and sworld.block_aabb.shape[0] <= MK.STREAM_BLOCKS
+        and sworld.tri_block > MK.SUB_BLOCK
+    )
+    if use_binned_fw:
+        bb = sworld.block_aabb
+        finite = jnp.abs(bb[:, 0:6]) < F_MAX
+        mlo = jnp.min(jnp.where(finite[:, 0:3], bb[:, 0:3], F_MAX), axis=0)
+        mhi = jnp.max(jnp.where(finite[:, 3:6], bb[:, 3:6], -F_MAX), axis=0)
+        idx_col0 = jnp.where(hit0, idx0 + 1, 0).astype(jnp.float32)
+
+        def make_idxs(u_all):
+            state = RayState.primary(ro_s, rd_s, max_bounces)
+            state = shade(state, hits0, u_all[:, 0:4], parity=parity)
+            pack = jnp.concatenate(
+                [state.orig, state.dir, state.color,
+                 state.remaining.astype(jnp.float32)[:, None]],
+                axis=1,
+            )
+            pix = jnp.arange(n_pad, dtype=jnp.int32)
+            cols = [idx_col0]
+            for b in range(1, max_bounces):
+                if (b - 1) % MK.RESORT_EVERY == 0:
+                    perm = jnp.argsort(
+                        MK._sort_keys(pack, mlo, mhi), stable=True
+                    )
+                    pack = pack[perm]
+                    pix = pix[perm]
+                u_b = u_all[:, 4 * b : 4 * b + 4][pix]
+                tg = MK._bounce_trace_call(sworld, margin, pack, MK.RAY_TILE)
+                # record the winning column in ORIGINAL ray order
+                cols.append(tg[:, 1][jnp.argsort(pix)])
+                pack = MK._defer_shade_apply(sworld, pack, tg, u_b, parity)
+            return jnp.stack(cols, axis=1)
+
     def body(i, acc):
         s = sample_offset + i
         u = chunk_uniforms(key, s, max_bounces, n, n_pad, tile_base)
-        _, idxs = _sample_pallas_call(
-            sworld, w16, prim, jax.lax.stop_gradient(u), margin,
-            max_bounces, parity, use_primary=True, emit_idx=True,
-        )
+        if use_binned_fw:
+            idxs = make_idxs(jax.lax.stop_gradient(u))
+        else:
+            _, idxs = _sample_pallas_call(
+                sworld, w16, prim, jax.lax.stop_gradient(u), margin,
+                max_bounces, parity, use_primary=True, emit_idx=True,
+            )
         idxs = jax.lax.stop_gradient(idxs)
         if color_only and parity:
             return acc + replay_color_only(world, idxs, max_bounces)

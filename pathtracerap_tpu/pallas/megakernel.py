@@ -1883,10 +1883,17 @@ def _bounce_defer(world, margin, pack, u, parity, ray_tile, debug=False):
     """One deferred-shading bounce: trace kernel -> XLA attr gather +
     wavefront shade -> repacked state.  Same uniform-column consumption as
     the fused kernels, so images agree with the other engines."""
+    tg = _bounce_trace_call(world, margin, pack, ray_tile, debug=debug)
+    return _defer_shade_apply(world, pack, tg, u, parity)
+
+
+def _defer_shade_apply(world, pack, tg, u, parity):
+    """XLA half of the deferred bounce: gather the winning column's attr
+    rows and advance the wavefront state (also the binned DIFF forward's
+    state-advance, diff/fast.py)."""
     from ..ops.intersect import HitRecord
     from ..render.shade import RayState, shade
 
-    tg = _bounce_trace_call(world, margin, pack, ray_tile, debug=debug)
     t = tg[:, 0]
     g1 = tg[:, 1].astype(jnp.int32)
     hit = g1 > 0

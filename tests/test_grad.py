@@ -407,3 +407,35 @@ def test_refractive_scene_gradients_match_finite_difference():
         np.testing.assert_allclose(g[i, c], fd, rtol=5e-2, atol=1e-4)
         checked += 1
     assert checked >= 2
+
+
+def test_diff_binned_forward_matches_fused_forward(monkeypatch):
+    """r5: the diff path's frozen-topology producer can be the binned
+    deferred-trace forward (fastest engine on multi-block scenes); its
+    idx stream must yield the same replayed image and gradients as the
+    fused emit_idx producer."""
+    import os
+
+    from pathtracerap_tpu.diff.grad import extract_params, render_for_params
+    from pathtracerap_tpu.scene.build import build_reference_scene
+
+    scene = build_reference_scene().to_device()
+    res = (64, 32)
+    key = jax.random.PRNGKey(1)
+    params = extract_params(scene, ("mat_color",))
+
+    def render(fw):
+        monkeypatch.setenv("PTAP_DIFF_FORWARD", fw)
+        img, g = jax.value_and_grad(
+            lambda p: jnp.sum(
+                render_for_params(
+                    p, scene, key, CAMERA, res, 2, 4, engine="fused",
+                ) ** 2
+            )
+        )(params)
+        return np.asarray(img), np.asarray(g["mat_color"])
+
+    v_f, g_f = render("fused")
+    v_b, g_b = render("binned")
+    np.testing.assert_allclose(v_b, v_f, rtol=1e-6)
+    np.testing.assert_allclose(g_b, g_f, rtol=1e-5, atol=1e-7)
