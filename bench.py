@@ -101,6 +101,10 @@ def main() -> None:
     mrays_b = rays_b / min(tb) / 1e6
     assert float(loss) > 0.0 and jnp.isfinite(loss)
 
+    from pathtracerap_tpu.render.wavefront import effective_engine
+
+    routed = effective_engine(cfg.engine, r.world, False,
+                              n_rays=resolution[0] * resolution[1])
     print(
         json.dumps(
             {
@@ -109,7 +113,7 @@ def main() -> None:
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / 100.0, 4),
                 "fwd_bwd_mrays_per_s": round(mrays_b, 2),
-                "engine": cfg.engine,
+                "engine": routed,
             }
         )
     )

@@ -17,8 +17,11 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
     engine = sys.argv[1] if len(sys.argv) > 1 else "binned"
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    ray_tile = int(os.environ.get("PTAP_RAY_TILE", "512"))
 
     import jax
     import jax.numpy as jnp
@@ -56,7 +59,7 @@ def main() -> None:
             parts.append(
                 fn(world, ro[s0:s0 + slab], rd[s0:s0 + slab], key,
                    n_samples=spp, max_bounces=max_bounces,
-                   tile_base=s0 // MK.RNG_TILE)
+                   tile_base=s0 // MK.RNG_TILE, ray_tile=ray_tile)
             )
         acc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         return jnp.mean(acc)  # scalarize: host fetch rides a ~30 MB/s tunnel
@@ -73,6 +76,7 @@ def main() -> None:
     rays = resolution[0] * resolution[1] * spp * max_bounces
     print(json.dumps({
         "engine": engine,
+        "ray_tile": ray_tile,
         "subblocks": MK.SUBBLOCKS,
         "resort_every": MK.RESORT_EVERY,
         "mrays_per_s": round(rays / dt / 1e6, 2),
