@@ -332,7 +332,7 @@ def render_samples_fused_diff(
         fw != "fused"
         and sworld.sub_aabb is not None
         and sworld.block_aabb.shape[0] >= 2
-        and sworld.block_aabb.shape[0] <= MK.STREAM_BLOCKS
+        and sworld.block_aabb.shape[0] <= MK.SUB_MAX_BLOCKS
         and sworld.tri_block > MK.SUB_BLOCK
     )
     if use_binned_fw:

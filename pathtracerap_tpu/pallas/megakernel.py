@@ -115,6 +115,13 @@ SHADE_T = _os.environ.get("PTAP_SHADE_T", "1") == "1"
 # granularity (VERDICT r4 next-round items 1+3).  A/B via PTAP_SUBBLOCKS.
 SUBBLOCKS = _os.environ.get("PTAP_SUBBLOCKS", "1") == "1"
 SUB_BLOCK = 128  # sub-block width == the bake's cluster size
+# Above this many 512-tri blocks the sub-granularity worklists hurt: the
+# 4x-wider (nt, 4*nb) scalar-prefetch SMEM rows force 4x more wavefront
+# chunking (trace.max_list_tiles) and the per-ray sub slab pass costs 4x.
+# Measured r5: 8 blocks sub WINS (15.38 vs 15.11), 18 blocks WINS
+# (multimesh 26.5 vs r4's 20.2), 287 blocks LOSES (highpoly 7.83 vs the
+# block-granularity 9.2) — cap between, overridable for A/B.
+SUB_MAX_BLOCKS = int(_os.environ.get("PTAP_SUB_MAX_BLOCKS", "64"))
 
 # r5 bf16-first hierarchical accept (probe + refine), PERF_NOTES lever #1:
 # each sub-group visit first runs ONLY the hi*hi bf16 pass (1/3 of the
@@ -1694,6 +1701,7 @@ def _bounce_call(world, margin, pack, u, parity, ray_tile, debug=False):
     use_sub = (
         SUBBLOCKS
         and not streamed
+        and nb <= SUB_MAX_BLOCKS
         and world.sub_aabb is not None
         and tri_block > SUB_BLOCK
         and tri_block % SUB_BLOCK == 0
@@ -2029,7 +2037,7 @@ def render_samples_binned(
             if (
                 DEFER_SHADE
                 and world.sub_aabb is not None
-                and world.block_aabb.shape[0] <= STREAM_BLOCKS
+                and world.block_aabb.shape[0] <= SUB_MAX_BLOCKS
                 and world.tri_block > SUB_BLOCK
             ):
                 pack = _bounce_defer(world, margin, pack, u_b, parity,
