@@ -220,6 +220,7 @@ def cmd_invert(args):
         target = render_for_params(
             extract_params(dev, ("mat_color",)), dev, key, cfg.camera,
             cfg.resolution, cfg.samples_per_pixel, cfg.max_bounces,
+            parity=cfg.parity,
         )
 
     params = extract_params(dev, ("mat_color",))
@@ -260,12 +261,13 @@ def cmd_invert(args):
         step = make_sharded_train_step(
             dev, cfg.camera, cfg.resolution, cfg.samples_per_pixel,
             cfg.max_bounces, mesh, lr=args.lr / loss_scale,
+            parity=cfg.parity,
         )
     else:
         loss_scale = 1.0
         step = make_train_step(
             dev, cfg.camera, cfg.resolution, cfg.samples_per_pixel,
-            cfg.max_bounces, lr=args.lr,
+            cfg.max_bounces, lr=args.lr, parity=cfg.parity,
         )
     for i in range(start, args.steps):
         loss, params = step(params, target, key)

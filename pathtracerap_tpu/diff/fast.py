@@ -328,18 +328,18 @@ def render_samples_fused_diff(
     from ..pallas import megakernel as MK
 
     fw = _os.environ.get("PTAP_DIFF_FORWARD", "auto")
+    nb_fw = sworld.block_aabb.shape[0] if sworld.block_aabb is not None else 0
     use_binned_fw = (
         fw != "fused"
+        and MK.SUBBLOCKS  # honor the sub-block kill switch here too
         and sworld.sub_aabb is not None
-        and sworld.block_aabb.shape[0] >= 2
-        and sworld.block_aabb.shape[0] <= MK.SUB_MAX_BLOCKS
+        and nb_fw >= 2
+        and nb_fw <= MK.SUB_MAX_BLOCKS
+        and nb_fw <= MK.STREAM_BLOCKS  # the deferred trace kernel is VMEM-resident only
         and sworld.tri_block > MK.SUB_BLOCK
     )
     if use_binned_fw:
-        bb = sworld.block_aabb
-        finite = jnp.abs(bb[:, 0:6]) < F_MAX
-        mlo = jnp.min(jnp.where(finite[:, 0:3], bb[:, 0:3], F_MAX), axis=0)
-        mhi = jnp.max(jnp.where(finite[:, 3:6], bb[:, 3:6], -F_MAX), axis=0)
+        mlo, mhi = MK.scene_morton_bounds(sworld.block_aabb)
         idx_col0 = jnp.where(hit0, idx0 + 1, 0).astype(jnp.float32)
 
         def make_idxs(u_all):

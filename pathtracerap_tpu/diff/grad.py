@@ -258,6 +258,7 @@ def make_sharded_train_step(
     tile_size: int = 2048,
     engine: str = DEFAULT_DIFF_ENGINE,
     overlap_chunks: int = 1,
+    parity: bool = True,
 ):
     """Multi-device train step: rays sharded over the ``rays`` axis,
     loss/grads psum-reduced, parameters updated replicated.
@@ -302,7 +303,7 @@ def make_sharded_train_step(
                 p, scene_l, target_c, key_l, camera, resolution,
                 n_samples, max_bounces, tile_size=tile_size,
                 ro=ro_c, rd=rd_c, tile_base=base_c, reduce="sum",
-                engine=engine, weight=w_c,
+                engine=engine, weight=w_c, parity=parity,
             )
 
         if overlap_chunks == 1:

@@ -309,6 +309,11 @@ def trace_parity(
         closer = is_int & (best.t > world_d)
         world_n = normalize(transform_normal(n_model, m2w))
 
+        ri_model = (
+            scene.mat_refractive_index[imodel]
+            if scene.mat_refractive_index is not None
+            else 1.5
+        )
         best = HitRecord(
             t=jnp.where(closer, world_d, best.t),
             normal=jnp.where(closer[:, None], world_n, best.normal),
@@ -316,11 +321,12 @@ def trace_parity(
             mat_color=jnp.where(
                 closer[:, None], scene.mat_color[imodel], best.mat_color
             ),
+            mat_ri=jnp.where(closer, ri_model, best.mat_ri),
         )
         return (best, total_steps, total_tests), None
 
     init = (
-        HitRecord.miss(n),
+        HitRecord.miss(n).replace(mat_ri=jnp.full((n,), 1.5, jnp.float32)),
         jnp.zeros((n,), jnp.int32),
         jnp.zeros((n,), jnp.int32),
     )

@@ -315,7 +315,7 @@ def bake_world_triangles(
         # ``dot_general(onehot (R, TB), slab (16, TB))`` HIGHEST-precision
         # MXU matmul per visit instead of 7+ VPU masked reductions.  Rows:
         # [shade_n(0:3), mat_type(3), rgb(4:7), geom_n(7:10), idx+1(10),
-        # 0(11:16)].  Row 10 carries the global triangle index + 1 (exact
+        # refractive_index(11), 0(12:16)].  Row 10 carries the global triangle index + 1 (exact
         # in f32 for any pack-sized scene) — the frozen-topology output the
         # differentiable replay consumes (diff/fast.py).  Row-major (16, T)
         # rather than (T, 16): the per-visit slab slice is then on the LANE

@@ -711,8 +711,10 @@ def _trace_inkernel(
             assert nb_w % group == 0, (nb_w, group)
             mm_mode = "f32" if _interpret() else PRECISION_MODE
             probe = BF16_PROBE
-            if probe and mm_mode != "bf16":
+            if probe and mm_mode != "f32":
                 # hoist the ray-side split: loop-invariant across visits
+                # (bf16 single-pass mode uses w_hi too — its probe IS the
+                # full product)
                 w_hi = w16.astype(jnp.bfloat16)
                 if mm_mode == "bf16x3":
                     w_lo = (w16 - w_hi.astype(jnp.float32)).astype(
@@ -1938,6 +1940,21 @@ def _defer_shade_apply(world, pack, tg, u, parity):
 SORT_KEY = _os.environ.get("PTAP_SORT_KEY", "oct21")
 
 
+def scene_morton_bounds(block_aabb):
+    """(lo, hi) world bounds for the wavefront sort's Morton
+    quantization, ignoring NaN/inverted padding rows.  Shared by the
+    binned engine and the diff path's binned forward (diff/fast.py) so
+    the two bounce loops cannot drift apart on the sort key."""
+    finite = jnp.abs(block_aabb[:, 0:6]) < F_MAX
+    lo = jnp.min(
+        jnp.where(finite[:, 0:3], block_aabb[:, 0:3], F_MAX), axis=0
+    )
+    hi = jnp.max(
+        jnp.where(finite[:, 3:6], block_aabb[:, 3:6], -F_MAX), axis=0
+    )
+    return lo, hi
+
+
 def _sort_keys(pack, lo, hi):
     """(N,) i32 sort key: direction bits (major), 21-bit origin Morton
     (minor); dead rays sink to the end.
@@ -2004,11 +2021,7 @@ def render_samples_binned(
     margin = _slab_margin(world.block_aabb)
     hits0 = trace_pallas(world, ro_p, rd_p)
 
-    # scene bounds for the Morton quantization
-    bb = world.block_aabb
-    finite = jnp.abs(bb[:, 0:6]) < F_MAX
-    lo = jnp.min(jnp.where(finite[:, 0:3], bb[:, 0:3], F_MAX), axis=0)
-    hi = jnp.max(jnp.where(finite[:, 3:6], bb[:, 3:6], -F_MAX), axis=0)
+    lo, hi = scene_morton_bounds(world.block_aabb)
 
     def body(i, acc):
         s = sample_offset + i
@@ -2034,10 +2047,13 @@ def render_samples_binned(
                 pack = pack[perm]
                 pix = pix[perm]
             u_b = u_all[:, 4 * b : 4 * b + 4][pix]
+            nb_w = world.block_aabb.shape[0]
             if (
                 DEFER_SHADE
+                and SUBBLOCKS
                 and world.sub_aabb is not None
-                and world.block_aabb.shape[0] <= SUB_MAX_BLOCKS
+                and nb_w <= SUB_MAX_BLOCKS
+                and nb_w <= STREAM_BLOCKS
                 and world.tri_block > SUB_BLOCK
             ):
                 pack = _bounce_defer(world, margin, pack, u_b, parity,

@@ -89,6 +89,15 @@ class ParsedScene:
 
 def _parse_value(text: str):
     text = text.strip()
+    # lowercase booleans first: ast.literal_eval only knows True/False,
+    # and falling through to the bare-string path made `quality: false`
+    # TRUTHY (bool("false") is True) — silently enabling the mode it
+    # asked to disable
+    low = text.lower()
+    if low in ("true", "yes", "on"):
+        return True
+    if low in ("false", "no", "off"):
+        return False
     try:
         return ast.literal_eval(text)
     except (ValueError, SyntaxError):

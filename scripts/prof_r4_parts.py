@@ -46,7 +46,8 @@ _orig_shade = MK._shade_inkernel
 _orig_trace = MK._trace_inkernel
 
 
-def shade_stub(orig, dirn, color, remaining, t, n_, mt, mc, gn, u, parity):
+def shade_stub(orig, dirn, color, remaining, t, n_, mt, mc, gn, u, parity,
+               ri=None):
     d = MK._norm3(dirn)
     hit = t < MK.F_MAX
     orig = jnp.where(hit, orig + d * t + 0.1 * n_, orig)
@@ -57,18 +58,20 @@ def shade_stub(orig, dirn, color, remaining, t, n_, mt, mc, gn, u, parity):
 
 
 def trace_stub(orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
-               tri_block, n_blocks, debug=False, worklist=None):
+               tri_block, n_blocks, debug=False, worklist=None, **kw):
     r = orig.shape[0]
     t = jnp.full((r, 1), 100.0, jnp.float32)
     n_ = jnp.concatenate(
         [jnp.zeros((r, 2), jnp.float32), jnp.ones((r, 1), jnp.float32)], axis=1)
     mt = jnp.zeros((r, 1), jnp.float32)
     mc = jnp.full((r, 3), 0.9, jnp.float32)
-    return t, n_, mt, mc, n_, jnp.ones((r, 1), jnp.float32)
+    # r5: the non-raw contract grew a trailing ri column
+    return (t, n_, mt, mc, n_, jnp.ones((r, 1), jnp.float32),
+            jnp.full((r, 1), 1.5, jnp.float32))
 
 
 def trace_noselect(orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
-                   tri_block, n_blocks, debug=False, worklist=None):
+                   tri_block, n_blocks, debug=False, worklist=None, **kw):
     """matmul + accept + min, but no argmin / attr-select matmul."""
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -107,7 +110,8 @@ def trace_noselect(orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
         [jnp.zeros((r, 2), jnp.float32), jnp.ones((r, 1), jnp.float32)], axis=1)
     mc = jnp.full((r, 3), 0.9, jnp.float32)
     return (best_t, n_, jnp.zeros((r, 1), jnp.float32), mc, n_,
-            jnp.ones((r, 1), jnp.float32))
+            jnp.ones((r, 1), jnp.float32),
+            jnp.full((r, 1), 1.5, jnp.float32))
 
 
 def measure(tag):

@@ -265,3 +265,22 @@ def test_cli_invert_dp_matches_single_device(tmp_path, capsys):
     lines = [l for l in out.splitlines() if l.startswith("step ")]
     assert len(lines) == 3
     assert float(lines[2].split("loss=")[1]) < float(lines[0].split("loss=")[1])
+
+
+def test_dsl_lowercase_booleans():
+    """`quality: false` must actually disable quality mode (bool("false")
+    is True — the r5 review catch)."""
+    from pathtracerap_tpu.scene.dsl import _parse_value
+
+    assert _parse_value("true") is True
+    assert _parse_value("false") is False
+    assert _parse_value("True") is True
+    assert _parse_value("no") is False
+    assert _parse_value("0.5") == 0.5
+    assert _parse_value("some_name") == "some_name"
+
+    p = parse_scene(SCENE_TEXT + "\nRENDER\nquality: false\n")
+    cfg = render_config_from_parsed(p)
+    assert cfg.parity is True
+    p2 = parse_scene(SCENE_TEXT + "\nRENDER\nquality: true\n")
+    assert render_config_from_parsed(p2).parity is False

@@ -168,3 +168,32 @@ def test_committed_glass_golden(glass):
     corr = float(np.corrcoef(d(img).ravel(), d(gold).ravel())[0, 1])
     assert mad < 0.04, mad
     assert corr > 0.97, corr
+
+
+def test_parity_engine_carries_refractive_index(glass):
+    """The DDA parity engine must report the scene's real ior (not the
+    1.5 fallback) so quality-mode shading on it refracts correctly."""
+    import jax.numpy as jnp
+
+    from pathtracerap_tpu.ops.intersect import trace_parity
+    from pathtracerap_tpu.render.camera import generate_rays
+    from pathtracerap_tpu.config import CameraConfig
+
+    from pathtracerap_tpu import constants
+
+    p, dev = glass
+    cam = CameraConfig(position=(0.0, 0.0, 110.0), plane_x=(-45.0, 45.0),
+                       plane_y=(-38.0, 30.0), plane_z=60.0)
+    ro, rd = generate_rays(cam, (32, 24))
+    rec = trace_parity(dev, ro, rd)
+    assert rec.mat_ri is not None
+    hit = np.asarray(rec.t) < constants.FLOAT_MAX
+    ri = np.asarray(rec.mat_ri)
+    mt = np.asarray(rec.mat_type)
+    refr = hit & (mt == 3)  # REFRACTIVE
+    assert refr.any(), "camera should see the glass sphere"
+    np.testing.assert_allclose(ri[refr], 1.5, atol=1e-6)
+    # diffuse walls carry their (default 1.0) ior, not the fallback
+    diff_hits = hit & (mt == 0)
+    assert diff_hits.any()
+    np.testing.assert_allclose(ri[diff_hits], 1.0, atol=1e-6)
