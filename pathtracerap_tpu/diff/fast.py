@@ -355,7 +355,9 @@ def render_samples_fused_diff(
             for b in range(1, max_bounces):
                 if (b - 1) % MK.RESORT_EVERY == 0:
                     perm = jnp.argsort(
-                        MK._sort_keys(pack, mlo, mhi), stable=True
+                        MK._sort_keys(pack, mlo, mhi, world=sworld,
+                                      margin=margin),
+                        stable=True,
                     )
                     pack = pack[perm]
                     pix = pix[perm]

@@ -90,6 +90,11 @@ SELECT_GATE = _os.environ.get("PTAP_SELECT_GATE", "1") == "1"
 # 1 disables batching (A/B).
 SAMPLE_BATCH = int(_os.environ.get("PTAP_SAMPLE_BATCH", "8"))
 
+# Binned engine: sort THIS many samples' wavefronts together per bounce
+# (r5; see the sample-batched branch of render_samples_binned).  1
+# disables batching (A/B).
+BINNED_SAMPLE_BATCH = int(_os.environ.get("PTAP_BINNED_SAMPLE_BATCH", "1"))
+
 # Binned engine: re-sort the wavefront every this many bounces (A/B via
 # PTAP_RESORT_EVERY).  The corrected microbenchmark (prof_r4_sort with
 # scalarized outputs — the first cut fetched 48 MB per call through the
@@ -543,6 +548,50 @@ def _shade_inkernel(orig, dirn, color, remaining, t, n, mt, mc, gn, u,
     return orig, dirn, color, remaining
 
 
+def _accept_chain(s, tri_block: int, debug: bool = False):
+    """Epsilon-guarded Moeller-Trumbore accept from the side/plane
+    products ``s`` (R, 4*TB): returns (t_m (R, TB), blk_min (R, 1)).
+
+    Shared by every worklist kernel (here and pallas/rayqueue.py) so the
+    accept semantics — and therefore bit-identical hit distances across
+    engines — live in exactly one place."""
+    s_ab = s[:, 0:tri_block]
+    s_bc = s[:, tri_block : 2 * tri_block]
+    s_ca = s[:, 2 * tri_block : 3 * tri_block]
+    num2 = s[:, 3 * tri_block :]  # t * det (plane columns negated)
+
+    det = s_ab + s_bc + s_ca
+    if debug:
+        # explicit-mask form (PTAP_DEBUG=1) — regression guard for
+        # the IEEE reasoning below (utils/debug.py)
+        parallel = det == 0.0
+        inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+    else:
+        # det == 0 lanes produce inf/NaN in u/v/t; every IEEE
+        # compare with NaN is false and +-inf fails one of the range
+        # tests, so the explicit `parallel` mask of the AD-safe
+        # engines is unnecessary here (this kernel is never
+        # differentiated) — saves 3 VPU slab passes per visit
+        inv_det = 1.0 / det
+    t = num2 * inv_det
+    u = s_ca * inv_det
+    v = s_ab * inv_det
+    # exact reformulation of the 5 epsilon tests (Renderer.cpp:193-201)
+    # in 2 fused range checks: min(u,v,t) >= -EPS covers the three lower
+    # bounds, max(u, u+v) <= 1+EPS the two upper bounds (v has no upper
+    # test in the reference).  5 fewer VPU slab passes per visit; NaN/inf
+    # lanes from det==0 still fail (min/max propagate NaN, NaN >= x is
+    # false; +-inf fails one side).
+    m_lo = jnp.minimum(jnp.minimum(u, v), t)
+    m_hi = jnp.maximum(u, u + v)
+    accept = (m_lo >= -EPS) & (m_hi <= 1.0 + EPS)
+    if debug:
+        accept = accept & ~parallel
+    t_m = jnp.where(accept, t, F_MAX)
+    blk_min = jnp.min(t_m, axis=1, keepdims=True)
+    return t_m, blk_min
+
+
 def _trace_inkernel(
     orig, dirn, remaining, aabb_ref, margin, ops_ref, attr_ref,
     tri_block: int, n_blocks: int, debug: bool = False, worklist=None,
@@ -594,43 +643,7 @@ def _trace_inkernel(
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (r, tri_block), 1)
 
     def accept_from_s(s):
-        """Epsilon-guarded Moeller-Trumbore accept from the side/plane
-        products ``s`` (R, 4*TB): returns (t_m, blk_min)."""
-        s_ab = s[:, 0:tri_block]
-        s_bc = s[:, tri_block : 2 * tri_block]
-        s_ca = s[:, 2 * tri_block : 3 * tri_block]
-        num2 = s[:, 3 * tri_block :]  # t * det (plane columns negated)
-
-        det = s_ab + s_bc + s_ca
-        if debug:
-            # explicit-mask form (PTAP_DEBUG=1) — regression guard for
-            # the IEEE reasoning below (utils/debug.py)
-            parallel = det == 0.0
-            inv_det = 1.0 / jnp.where(parallel, 1.0, det)
-        else:
-            # det == 0 lanes produce inf/NaN in u/v/t; every IEEE
-            # compare with NaN is false and +-inf fails one of the range
-            # tests, so the explicit `parallel` mask of the AD-safe
-            # engines is unnecessary here (this kernel is never
-            # differentiated) — saves 3 VPU slab passes per visit
-            inv_det = 1.0 / det
-        t = num2 * inv_det
-        u = s_ca * inv_det
-        v = s_ab * inv_det
-        # exact reformulation of the 5 epsilon tests (Renderer.cpp:193-201)
-        # in 2 fused range checks: min(u,v,t) >= -EPS covers the three lower
-        # bounds, max(u, u+v) <= 1+EPS the two upper bounds (v has no upper
-        # test in the reference).  5 fewer VPU slab passes per visit; NaN/inf
-        # lanes from det==0 still fail (min/max propagate NaN, NaN >= x is
-        # false; +-inf fails one side).
-        m_lo = jnp.minimum(jnp.minimum(u, v), t)
-        m_hi = jnp.maximum(u, u + v)
-        accept = (m_lo >= -EPS) & (m_hi <= 1.0 + EPS)
-        if debug:
-            accept = accept & ~parallel
-        t_m = jnp.where(accept, t, F_MAX)
-        blk_min = jnp.min(t_m, axis=1, keepdims=True)
-        return t_m, blk_min
+        return _accept_chain(s, tri_block, debug)
 
     def compute_blk(blk, ops_slab=None):
         """The per-block traversal math: (t_m (R, TB), blk_min (R, 1)).
@@ -1932,12 +1945,28 @@ def _defer_shade_apply(world, pack, tg, u, parity):
 
 
 # Wavefront sort key granularity (A/B via PTAP_SORT_KEY):
-#   "oct21" — 3-bit direction octant (major) + 21-bit origin Morton.
-#   "dir6"  — 6-bit direction quantization (4 levels/axis of the
-#             normalized direction) + 21-bit origin Morton: finer
-#             direction cones per tile, at the cost of more origin
-#             scatter within each cone.
+#   "oct21"   — 3-bit direction octant (major) + 21-bit origin Morton.
+#   "dir6"    — 6-bit direction quantization (4 levels/axis of the
+#               normalized direction) + 21-bit origin Morton: finer
+#               direction cones per tile, at the cost of more origin
+#               scatter within each cone.
+#   "nearest" — r5 queue-lite: the ray's NEAREST candidate sub-block id
+#               (argmin entry distance over its per-ray slab tests) as
+#               the major bits, then octant, then origin Morton.  Rays
+#               sharing a tile then share their first candidate block by
+#               construction, so the tile-union worklists collapse toward
+#               the per-ray slab floor — the grouping half of VERDICT
+#               r4's per-block ray queues WITHOUT the pair expansion,
+#               whose XLA glue measured 130 ms/bounce vs the binned
+#               engine's ~18 (scripts/prof_r5_queue_glue.py; see
+#               PERF_NOTES r5 "ray-queue dead end").  Needs the per-ray
+#               slab pass: one extra (N, nsb) test per re-sort, measured
+#               2.6 ms at 512k rays x 32 sub-blocks.
 SORT_KEY = _os.environ.get("PTAP_SORT_KEY", "oct21")
+
+# "nearest" needs per-ray slab tests, affordable only below this many
+# sub-blocks (the same exact-branch bound as trace.FRUSTUM_LIST_THRESHOLD).
+NEAREST_KEY_MAX_SUBS = 48
 
 
 def scene_morton_bounds(block_aabb):
@@ -1955,7 +1984,16 @@ def scene_morton_bounds(block_aabb):
     return lo, hi
 
 
-def _sort_keys(pack, lo, hi):
+def _use_nearest_key(world) -> bool:
+    return (
+        SORT_KEY == "nearest"
+        and world is not None
+        and world.sub_aabb is not None
+        and world.sub_aabb.shape[0] <= NEAREST_KEY_MAX_SUBS
+    )
+
+
+def _sort_keys(pack, lo, hi, world=None, margin=None):
     """(N,) i32 sort key: direction bits (major), 21-bit origin Morton
     (minor); dead rays sink to the end.
 
@@ -1963,7 +2001,11 @@ def _sort_keys(pack, lo, hi):
     slab-reachable blocks on the reference scene's secondary bounces are
     ~5.5/8 under octant-major vs ~7.7/8 under origin-major
     (scripts/prof_r3_visits.py) — a tile's block-union frustum is
-    dominated by direction spread, not origin spread."""
+    dominated by direction spread, not origin spread.
+
+    With ``SORT_KEY == "nearest"`` (and ``world``/``margin`` provided),
+    the ray's nearest candidate sub-block id leads the key — see the
+    SORT_KEY note above."""
     from ..ops.plucker import _morton3
 
     orig = pack[:, 0:3]
@@ -1983,6 +2025,26 @@ def _sort_keys(pack, lo, hi):
             + (d[:, 2] < 0).astype(jnp.int32)
         )
     key = (dirk << 21) | morton
+    if _use_nearest_key(world):
+        sub_aabb = world.sub_aabb
+        d_n = d * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(d * d, axis=1, keepdims=True), 1e-30)
+        )
+        small = jnp.abs(d_n) < 1e-12
+        inv_d = 1.0 / jnp.where(
+            small, jnp.where(d_n < 0.0, -1e-12, 1e-12), d_n
+        )
+        blo = (sub_aabb[None, :, 0:3] - orig[:, None, :]) * inv_d[:, None, :]
+        bhi = (sub_aabb[None, :, 3:6] - orig[:, None, :]) * inv_d[:, None, :]
+        tmin = jnp.max(jnp.minimum(blo, bhi), axis=-1)  # (N, nsb)
+        tmax = jnp.min(jnp.maximum(blo, bhi), axis=-1)
+        hit = (tmax >= -margin) & (tmin <= tmax + margin)
+        tsel = jnp.where(hit, tmin, jnp.inf)
+        first = jnp.argmin(tsel, axis=1).astype(jnp.int32)
+        # no-candidate rays (guaranteed miss) group together at the top
+        # of the live range — their tiles' worklists are empty
+        first = jnp.where(jnp.any(hit, axis=1), first, NEAREST_KEY_MAX_SUBS)
+        key = (first << 24) | key
     return jnp.where(alive, key, jnp.int32(1 << 30))
 
 
@@ -2023,19 +2085,10 @@ def render_samples_binned(
 
     lo, hi = scene_morton_bounds(world.block_aabb)
 
-    def body(i, acc):
-        s = sample_offset + i
-        u_all = chunk_uniforms(key, s, max_bounces, n, n_pad, tile_base)
-        state = RayState.primary(ro_p, rd_p, max_bounces)
-        state = shade(state, hits0, u_all[:, 0:4], parity=parity)
-        # 10 columns [orig, dir, color, remaining] — no padding tail:
-        # the per-bounce argsort row gather pays per real column (r5)
-        pack = jnp.concatenate(
-            [state.orig, state.dir, state.color,
-             state.remaining.astype(jnp.float32)[:, None]],
-            axis=1,
-        )
-        pix = jnp.arange(n_pad, dtype=jnp.int32)
+    def bounce_sweep(pack, pix, u_flat):
+        """The shared per-bounce loop: sort -> worklist bounce kernel ->
+        state advance, for a (possibly multi-sample) wavefront whose
+        per-ray uniform rows are ``u_flat`` indexed by original id."""
         for b in range(1, max_bounces):
             # Re-sort the wavefront every RESORT_EVERY bounces (default 1:
             # the corrected sort microbenchmark — see the RESORT_EVERY
@@ -2043,10 +2096,13 @@ def render_samples_binned(
             # 800k rays, cheap enough that per-bounce sorting keeps both
             # visit coherence and the prunable dead-ray tail).
             if (b - 1) % RESORT_EVERY == 0:
-                perm = jnp.argsort(_sort_keys(pack, lo, hi), stable=True)
+                perm = jnp.argsort(
+                    _sort_keys(pack, lo, hi, world=world, margin=margin),
+                    stable=True,
+                )
                 pack = pack[perm]
                 pix = pix[perm]
-            u_b = u_all[:, 4 * b : 4 * b + 4][pix]
+            u_b = u_flat[:, 4 * b : 4 * b + 4][pix]
             nb_w = world.block_aabb.shape[0]
             if (
                 DEFER_SHADE
@@ -2065,7 +2121,56 @@ def render_samples_binned(
         # un-permute by inverse-permutation GATHER: the row scatter
         # (.at[pix].set) measured 35 ms/sample on v5e vs ~11 for
         # argsort + gather (prof_r4_binned2 `scatter` row)
-        return acc + contrib[jnp.argsort(pix)]
+        return contrib[jnp.argsort(pix)]
+
+    def pack_of(state):
+        # 10 columns [orig, dir, color, remaining] — no padding tail:
+        # the per-bounce argsort row gather pays per real column (r5)
+        return jnp.concatenate(
+            [state.orig, state.dir, state.color,
+             state.remaining.astype(jnp.float32)[:, None]],
+            axis=1,
+        )
+
+    if BINNED_SAMPLE_BATCH > 1 and n_samples > 1:
+        # Sample-batched wavefront (r5): SORT SEVERAL SAMPLES' RAYS
+        # TOGETHER.  The per-bounce argsort then packs each 512-ray tile
+        # from an S-times denser sampling of the same key space, so tile
+        # worklist unions tighten toward the per-ray slab floor (the
+        # candidate-set lever of VERDICT r4 item 1 with no new data
+        # movement), the per-bounce XLA glue amortizes over S samples,
+        # and the global dead-ray tail is shared.  Images are bit-equal
+        # to the unbatched loop: every ray keeps its own (sample, pixel)
+        # uniform stream via ``pix`` indexing into the batched rows.
+        acc = jnp.zeros((n_pad, 3), jnp.float32)
+        done = 0
+        while done < n_samples:
+            ns = min(BINNED_SAMPLE_BATCH, n_samples - done)
+            offs = sample_offset + done + jnp.arange(ns)
+            u_all = jax.vmap(
+                lambda s: chunk_uniforms(key, s, max_bounces, n, n_pad,
+                                         tile_base)
+            )(offs)  # (ns, n_pad, 4*max_bounces)
+            big = lambda x: jnp.broadcast_to(
+                x[None], (ns,) + x.shape
+            ).reshape((ns * x.shape[0],) + x.shape[1:])
+            state = RayState.primary(big(ro_p), big(rd_p), max_bounces)
+            hits_b = jax.tree.map(big, hits0)
+            u_flat = u_all.reshape(ns * n_pad, 4 * max_bounces)
+            state = shade(state, hits_b, u_flat[:, 0:4], parity=parity)
+            pix = jnp.arange(ns * n_pad, dtype=jnp.int32)
+            contrib = bounce_sweep(pack_of(state), pix, u_flat)
+            acc = acc + jnp.sum(contrib.reshape(ns, n_pad, 3), axis=0)
+            done += ns
+        return acc[:n]
+
+    def body(i, acc):
+        s = sample_offset + i
+        u_all = chunk_uniforms(key, s, max_bounces, n, n_pad, tile_base)
+        state = RayState.primary(ro_p, rd_p, max_bounces)
+        state = shade(state, hits0, u_all[:, 0:4], parity=parity)
+        pix = jnp.arange(n_pad, dtype=jnp.int32)
+        return acc + bounce_sweep(pack_of(state), pix, u_all)
 
     acc = jax.lax.fori_loop(
         0, n_samples, body, jnp.zeros((n_pad, 3), jnp.float32)

@@ -239,6 +239,36 @@ def test_subblock_worklists_match_block_worklists(scene):
     np.testing.assert_array_equal(b_sub, b_blk)
 
 
+def test_sample_batched_binned_bit_identical(scene):
+    """r5: sorting several samples' wavefronts together (the tile-
+    coherence lever) must not change a single bit — each ray keeps its
+    own (sample, pixel) uniform stream through the batched ``pix``
+    indexing, and tile membership never affects a ray's result."""
+    import jax
+
+    import pathtracerap_tpu.pallas.megakernel as MK
+    from pathtracerap_tpu.ops.plucker import bake_world_triangles
+    from pathtracerap_tpu.render.camera import generate_rays
+    from pathtracerap_tpu.scene.build import build_reference_scene
+
+    ref = build_reference_scene().to_device()
+    world = jax.jit(bake_world_triangles)(ref)
+    ro, rd = generate_rays(RenderConfig().camera, (32, 16))
+    key = jax.random.PRNGKey(11)
+
+    old = MK.BINNED_SAMPLE_BATCH
+    try:
+        MK.BINNED_SAMPLE_BATCH = 1
+        base = np.asarray(MK.render_samples_binned(
+            world, ro, rd, key, n_samples=3, max_bounces=4))
+        MK.BINNED_SAMPLE_BATCH = 2  # 3 samples -> groups of 2 + 1
+        batched = np.asarray(MK.render_samples_binned(
+            world, ro, rd, key, n_samples=3, max_bounces=4))
+    finally:
+        MK.BINNED_SAMPLE_BATCH = old
+    np.testing.assert_array_equal(base, batched)
+
+
 def test_group_sub_lists_contract():
     """The regrouped worklist invariants the sub-mode kernel relies on:
     live groups are a prefix, live groups contain only valid ascending ids,
