@@ -218,6 +218,26 @@ def replay_color_only(
     return jnp.sqrt(jnp.maximum(color, 0.0))
 
 
+def binned_forward_active(world) -> bool:
+    """True when :func:`render_samples_fused_diff` will run the binned
+    deferred-trace forward for this world (its ``use_binned_fw`` gate —
+    shared with diff/grad.py's slab sizing so the forward's ray slabs
+    match the binned engine's measured density optimum)."""
+    from ..pallas import megakernel as MK
+
+    fw = _os.environ.get("PTAP_DIFF_FORWARD", "auto")
+    nb = world.block_aabb.shape[0] if world.block_aabb is not None else 0
+    return (
+        fw != "fused"
+        and MK.SUBBLOCKS  # honor the sub-block kill switch here too
+        and world.sub_aabb is not None
+        and nb >= 2
+        and nb <= MK.SUB_MAX_BLOCKS
+        and nb <= MK.STREAM_BLOCKS  # deferred trace kernel is VMEM-resident only
+        and world.tri_block > MK.SUB_BLOCK
+    )
+
+
 def render_samples_fused_diff(
     world: WorldTriangles,
     ro: jax.Array,
@@ -327,31 +347,32 @@ def render_samples_fused_diff(
     # replayed contribution is the same; A/B via PTAP_DIFF_FORWARD.
     from ..pallas import megakernel as MK
 
-    fw = _os.environ.get("PTAP_DIFF_FORWARD", "auto")
-    nb_fw = sworld.block_aabb.shape[0] if sworld.block_aabb is not None else 0
-    use_binned_fw = (
-        fw != "fused"
-        and MK.SUBBLOCKS  # honor the sub-block kill switch here too
-        and sworld.sub_aabb is not None
-        and nb_fw >= 2
-        and nb_fw <= MK.SUB_MAX_BLOCKS
-        and nb_fw <= MK.STREAM_BLOCKS  # the deferred trace kernel is VMEM-resident only
-        and sworld.tri_block > MK.SUB_BLOCK
-    )
+    use_binned_fw = binned_forward_active(sworld)
     if use_binned_fw:
         mlo, mhi = MK.scene_morton_bounds(sworld.block_aabb)
         idx_col0 = jnp.where(hit0, idx0 + 1, 0).astype(jnp.float32)
 
-        def make_idxs(u_all):
-            state = RayState.primary(ro_s, rd_s, max_bounces)
-            state = shade(state, hits0, u_all[:, 0:4], parity=parity)
+        def make_idxs_multi(u_all_b):
+            """(ns, n_pad, 4*mb) -> (ns, n_pad, mb) winning-index streams
+            for a GROUP of samples traced as one combined sorted wavefront
+            — the r5 sample-batched binned forward (see
+            megakernel.render_samples_binned); ns == 1 reproduces the
+            single-sample stream exactly."""
+            ns = u_all_b.shape[0]
+            big = lambda x: jnp.broadcast_to(
+                x[None], (ns,) + x.shape
+            ).reshape((ns * x.shape[0],) + x.shape[1:])
+            state = RayState.primary(big(ro_s), big(rd_s), max_bounces)
+            hits_b = jax.tree.map(big, hits0)
+            u_flat = u_all_b.reshape(ns * n_pad, 4 * max_bounces)
+            state = shade(state, hits_b, u_flat[:, 0:4], parity=parity)
             pack = jnp.concatenate(
                 [state.orig, state.dir, state.color,
                  state.remaining.astype(jnp.float32)[:, None]],
                 axis=1,
             )
-            pix = jnp.arange(n_pad, dtype=jnp.int32)
-            cols = [idx_col0]
+            pix = jnp.arange(ns * n_pad, dtype=jnp.int32)
+            cols = [big(idx_col0)]
             for b in range(1, max_bounces):
                 if (b - 1) % MK.RESORT_EVERY == 0:
                     perm = jnp.argsort(
@@ -361,29 +382,55 @@ def render_samples_fused_diff(
                     )
                     pack = pack[perm]
                     pix = pix[perm]
-                u_b = u_all[:, 4 * b : 4 * b + 4][pix]
+                u_b = u_flat[:, 4 * b : 4 * b + 4][pix]
                 tg = MK._bounce_trace_call(sworld, margin, pack, MK.RAY_TILE)
                 # record the winning column in ORIGINAL ray order
                 cols.append(tg[:, 1][jnp.argsort(pix)])
                 pack = MK._defer_shade_apply(sworld, pack, tg, u_b, parity)
-            return jnp.stack(cols, axis=1)
+            return jnp.stack(cols, axis=1).reshape(ns, n_pad, max_bounces)
+
+    def replay_any(idxs, u):
+        if color_only and parity:
+            return replay_color_only(world, idxs, max_bounces)
+        return replay(world, idxs, u)
 
     def body(i, acc):
         s = sample_offset + i
         u = chunk_uniforms(key, s, max_bounces, n, n_pad, tile_base)
         if use_binned_fw:
-            idxs = make_idxs(jax.lax.stop_gradient(u))
+            idxs = make_idxs_multi(jax.lax.stop_gradient(u)[None])[0]
         else:
             _, idxs = _sample_pallas_call(
                 sworld, w16, prim, jax.lax.stop_gradient(u), margin,
                 max_bounces, parity, use_primary=True, emit_idx=True,
             )
         idxs = jax.lax.stop_gradient(idxs)
-        if color_only and parity:
-            return acc + replay_color_only(world, idxs, max_bounces)
-        return acc + replay(world, idxs, u)
+        return acc + replay_any(idxs, u)
 
-    acc = jax.lax.fori_loop(
-        0, n_samples, body, jnp.zeros((n_pad, 3), jnp.float32)
-    )
+    acc = jnp.zeros((n_pad, 3), jnp.float32)
+    sb = MK.BINNED_SAMPLE_BATCH if use_binned_fw else 1
+    n_groups, rem = (n_samples // sb, n_samples % sb) if sb > 1 else (0, n_samples)
+    if n_groups:
+        # sample-batched forward: one scan step traces a whole group's
+        # wavefronts together, then an inner scan replays each sample
+        def g_body(acc_c, g):
+            offs = sample_offset + g * sb + jnp.arange(sb)
+            u_b = jax.vmap(
+                lambda s: chunk_uniforms(key, s, max_bounces, n, n_pad,
+                                         tile_base)
+            )(offs)
+            idxs = jax.lax.stop_gradient(
+                make_idxs_multi(jax.lax.stop_gradient(u_b))
+            )
+
+            def r_body(a, xs):
+                idx_j, u_j = xs
+                return a + replay_any(idx_j, u_j), None
+
+            acc_g, _ = jax.lax.scan(r_body, acc_c, (idxs, u_b))
+            return acc_g, None
+
+        acc, _ = jax.lax.scan(g_body, acc, jnp.arange(n_groups))
+    if rem:
+        acc = jax.lax.fori_loop(n_samples - rem, n_samples, body, acc)
     return acc[:n]

@@ -89,11 +89,15 @@ def render_for_params(
         # backward (diff/fast.py); RNG tiling is the megakernel's own
         # 8192-row chunk stream, with ``tile_base`` in those units (callers
         # pre-sharding rays must align slabs to 8192 rows)
-        from .fast import render_samples_fused_diff
+        from ..pallas.megakernel import BINNED_SLAB_TILES
+        from .fast import binned_forward_active, render_samples_fused_diff
 
         if ro is None:
             ro, rd = generate_rays(camera, resolution)
-        slab = 64 * 8192
+        # binned-forward scenes use the binned engine's measured-optimal
+        # slab (density sweep, megakernel.BINNED_SLAB_TILES); the fused
+        # emit_idx forward keeps its 64-tile slabs
+        slab = (BINNED_SLAB_TILES if binned_forward_active(world) else 64) * 8192
         n = ro.shape[0]
         # material-only parity training never reads geometry in the color
         # path — use the color-only replay (diff/fast.replay_color_only),

@@ -92,8 +92,20 @@ SAMPLE_BATCH = int(_os.environ.get("PTAP_SAMPLE_BATCH", "8"))
 
 # Binned engine: sort THIS many samples' wavefronts together per bounce
 # (r5; see the sample-batched branch of render_samples_binned).  1
-# disables batching (A/B).
-BINNED_SAMPLE_BATCH = int(_os.environ.get("PTAP_BINNED_SAMPLE_BATCH", "1"))
+# disables batching (A/B).  Measured with BINNED_SLAB_TILES below —
+# the two knobs trade density against combined wavefront size.
+BINNED_SAMPLE_BATCH = int(_os.environ.get("PTAP_BINNED_SAMPLE_BATCH", "4"))
+
+# Facade ray-slab size for the BINNED engine, in 8192-ray RNG tiles (the
+# fused engine keeps its 64-tile slabs).  r5 density sweep on the
+# reference workload (prof_r5_sub, Mrays/s): the engine peaks when the
+# COMBINED sorted wavefront (slab x BINNED_SAMPLE_BATCH) stays near 512k
+# rays while the sample density inside it rises:
+#   batch x slab:  1x64 15.34 | 2x64 19.48 | 3x64 19.19 | 4x64 16.62
+#                  8x64 14.70 | 2x32 19.97 | 4x16 20.13 | 8x8 17.50
+# i.e. +31% from batching alone, provided the combined size does not
+# grow with it (sort/gather HBM locality degrades past ~1M rows).
+BINNED_SLAB_TILES = int(_os.environ.get("PTAP_BINNED_SLAB_TILES", "16"))
 
 # Binned engine: re-sort the wavefront every this many bounces (A/B via
 # PTAP_RESORT_EVERY).  The corrected microbenchmark (prof_r4_sort with
@@ -2132,37 +2144,32 @@ def render_samples_binned(
             axis=1,
         )
 
-    if BINNED_SAMPLE_BATCH > 1 and n_samples > 1:
-        # Sample-batched wavefront (r5): SORT SEVERAL SAMPLES' RAYS
-        # TOGETHER.  The per-bounce argsort then packs each 512-ray tile
-        # from an S-times denser sampling of the same key space, so tile
-        # worklist unions tighten toward the per-ray slab floor (the
-        # candidate-set lever of VERDICT r4 item 1 with no new data
-        # movement), the per-bounce XLA glue amortizes over S samples,
-        # and the global dead-ray tail is shared.  Images are bit-equal
-        # to the unbatched loop: every ray keeps its own (sample, pixel)
-        # uniform stream via ``pix`` indexing into the batched rows.
-        acc = jnp.zeros((n_pad, 3), jnp.float32)
-        done = 0
-        while done < n_samples:
-            ns = min(BINNED_SAMPLE_BATCH, n_samples - done)
-            offs = sample_offset + done + jnp.arange(ns)
-            u_all = jax.vmap(
-                lambda s: chunk_uniforms(key, s, max_bounces, n, n_pad,
-                                         tile_base)
-            )(offs)  # (ns, n_pad, 4*max_bounces)
-            big = lambda x: jnp.broadcast_to(
-                x[None], (ns,) + x.shape
-            ).reshape((ns * x.shape[0],) + x.shape[1:])
-            state = RayState.primary(big(ro_p), big(rd_p), max_bounces)
-            hits_b = jax.tree.map(big, hits0)
-            u_flat = u_all.reshape(ns * n_pad, 4 * max_bounces)
-            state = shade(state, hits_b, u_flat[:, 0:4], parity=parity)
-            pix = jnp.arange(ns * n_pad, dtype=jnp.int32)
-            contrib = bounce_sweep(pack_of(state), pix, u_flat)
-            acc = acc + jnp.sum(contrib.reshape(ns, n_pad, 3), axis=0)
-            done += ns
-        return acc[:n]
+    def group_contrib(offs):
+        """One group of samples, traced as ONE combined sorted wavefront
+        (r5): the per-bounce argsort packs each 512-ray tile from an
+        S-times denser sampling of the same key space, so tile worklist
+        unions tighten toward the per-ray slab floor (the candidate-set
+        lever of VERDICT r4 item 1 with no new data movement), the
+        per-bounce XLA glue amortizes over S samples, and the dead-ray
+        tail is shared.  Images are bit-equal to the unbatched loop:
+        every ray keeps its own (sample, pixel) uniform stream via
+        ``pix`` indexing into the batched rows.  Returns the (n_pad, 3)
+        sum over the group."""
+        ns = offs.shape[0]
+        u_all = jax.vmap(
+            lambda s: chunk_uniforms(key, s, max_bounces, n, n_pad,
+                                     tile_base)
+        )(offs)  # (ns, n_pad, 4*max_bounces)
+        big = lambda x: jnp.broadcast_to(
+            x[None], (ns,) + x.shape
+        ).reshape((ns * x.shape[0],) + x.shape[1:])
+        state = RayState.primary(big(ro_p), big(rd_p), max_bounces)
+        hits_b = jax.tree.map(big, hits0)
+        u_flat = u_all.reshape(ns * n_pad, 4 * max_bounces)
+        state = shade(state, hits_b, u_flat[:, 0:4], parity=parity)
+        pix = jnp.arange(ns * n_pad, dtype=jnp.int32)
+        contrib = bounce_sweep(pack_of(state), pix, u_flat)
+        return jnp.sum(contrib.reshape(ns, n_pad, 3), axis=0)
 
     def body(i, acc):
         s = sample_offset + i
@@ -2172,7 +2179,19 @@ def render_samples_binned(
         pix = jnp.arange(n_pad, dtype=jnp.int32)
         return acc + bounce_sweep(pack_of(state), pix, u_all)
 
-    acc = jax.lax.fori_loop(
-        0, n_samples, body, jnp.zeros((n_pad, 3), jnp.float32)
-    )
+    acc = jnp.zeros((n_pad, 3), jnp.float32)
+    sb = BINNED_SAMPLE_BATCH
+    n_groups, rem = (n_samples // sb, n_samples % sb) if sb > 1 else (0, n_samples)
+    if n_groups:
+        # lax.scan over full groups: ONE traced copy of the batched
+        # pipeline regardless of spp (compile time through the remote
+        # tunnel is per-instance)
+        def g_body(acc_c, g):
+            offs = sample_offset + g * sb + jnp.arange(sb)
+            return acc_c + group_contrib(offs), None
+        acc, _ = jax.lax.scan(g_body, acc, jnp.arange(n_groups))
+    if rem:
+        acc = jax.lax.fori_loop(
+            n_samples - rem, n_samples, body, acc
+        )
     return acc[:n]

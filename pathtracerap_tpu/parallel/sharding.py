@@ -105,11 +105,14 @@ def render_accumulate_dp(
 
     if use_mega:
         from ..pallas.megakernel import (
+            BINNED_SLAB_TILES,
             render_samples_binned,
             render_samples_fused,
         )
 
-        slab = 64 * RNG_TILE  # same SMEM-bounded slab as render_accumulate
+        # same slabs as render_accumulate: the binned engine's measured
+        # density optimum, the fused engine's SMEM-bounded 64 tiles
+        slab = (BINNED_SLAB_TILES if engine == "binned" else 64) * RNG_TILE
 
         def local_render(scene_l, world_l, key_l, ro_l, rd_l):
             tile_base = jax.lax.axis_index("rays") * tiles_per_dev

@@ -279,7 +279,9 @@ def render_accumulate(
         engine = effective_engine(engine, world, jitter_step is not None,
                                   n_rays=n)
     if engine == "binned":
-        slab = 64 * 8192
+        from ..pallas.megakernel import BINNED_SLAB_TILES
+
+        slab = BINNED_SLAB_TILES * 8192
         parts = []
         for s0 in range(0, n, slab):
             parts.append(

@@ -34,12 +34,13 @@ def main():
     from pathtracerap_tpu.utils.profiling import enable_compile_cache
 
     enable_compile_cache()
-    S = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    S = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    slab_tiles = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
     resolution = (1000, 800)
     max_bounces = 5
     ray_tile = 512
-    N = 64 * MK.RNG_TILE
+    N = slab_tiles * MK.RNG_TILE
 
     scene = build_reference_scene().to_device()
     world = jax.jit(bake_world_triangles)(scene)

@@ -48,8 +48,9 @@ def main() -> None:
         else MK.render_samples_fused
     )
 
-    # slab like render_accumulate does (SMEM worklist budget)
-    slab = 64 * MK.RNG_TILE
+    # slab like render_accumulate does (SMEM worklist budget);
+    # PTAP_SLAB_TILES overrides for the batch-density experiments
+    slab = int(os.environ.get("PTAP_SLAB_TILES", "64")) * MK.RNG_TILE
 
     @jax.jit
     def render():
