@@ -383,7 +383,8 @@ def render_samples_fused_diff(
                     pack = pack[perm]
                     pix = pix[perm]
                 u_b = u_flat[:, 4 * b : 4 * b + 4][pix]
-                tg = MK._bounce_trace_call(sworld, margin, pack, MK.RAY_TILE)
+                tg = MK._bounce_trace_call(sworld, margin, pack,
+                                           MK._binned_ray_tile(sworld))
                 # record the winning column in ORIGINAL ray order
                 cols.append(tg[:, 1][jnp.argsort(pix)])
                 pack = MK._defer_shade_apply(sworld, pack, tg, u_b, parity)

@@ -132,6 +132,38 @@ SHADE_T = _os.environ.get("PTAP_SHADE_T", "1") == "1"
 # granularity (VERDICT r4 next-round items 1+3).  A/B via PTAP_SUBBLOCKS.
 SUBBLOCKS = _os.environ.get("PTAP_SUBBLOCKS", "1") == "1"
 SUB_BLOCK = 128  # sub-block width == the bake's cluster size
+# Binned-engine worklist tile height (rays per worklist row).  Smaller
+# tiles mean tighter per-tile worklist unions (each tile's rays span a
+# narrower sort-key range) at the cost of 2x the SMEM worklist rows and
+# per-tile fixed costs.  Measured r5 third wave under the 4x16 sample
+# batching (prof_r5_sub / prof_r5_scene_batch, min of 3): reference
+# workload 512 -> 20.15, 256 -> 20.47, 128 -> 16.44 Mrays/s; metallic
+# (same 32-sub scene, 1M rays) 16.94 vs 16.97 (tie); multimesh (72 subs)
+# 23.83 vs 22.08 (256 LOSES — the 2x SMEM worklist rows bite as the
+# per-tile list width grows).  Default is therefore ADAPTIVE on the
+# worklist unit count: 256 when the scene culls over <= 32 units
+# (sub-blocks or blocks), 512 above.  Force a fixed value for A/B via
+# PTAP_RAY_TILE; the fused whole-sample engine keeps RAY_TILE (512).
+_RAY_TILE_ENV = _os.environ.get("PTAP_RAY_TILE")
+BINNED_RAY_TILE = int(_RAY_TILE_ENV) if _RAY_TILE_ENV else None
+BINNED_SMALL_TILE_MAX_UNITS = 32
+
+
+def _binned_ray_tile(world: "WorldTriangles") -> int:
+    """Adaptive binned worklist tile height (see BINNED_RAY_TILE note)."""
+    if BINNED_RAY_TILE is not None:
+        return BINNED_RAY_TILE
+    nb = world.block_aabb.shape[0]
+    units = nb
+    if (
+        SUBBLOCKS
+        and nb <= min(SUB_MAX_BLOCKS, STREAM_BLOCKS)
+        and world.sub_aabb is not None
+        and world.tri_block > SUB_BLOCK
+        and world.tri_block % SUB_BLOCK == 0
+    ):
+        units = world.sub_aabb.shape[0]
+    return 256 if units <= BINNED_SMALL_TILE_MAX_UNITS else 512
 # Above this many 512-tri blocks the sub-granularity worklists hurt: the
 # 4x-wider (nt, 4*nb) scalar-prefetch SMEM rows force 4x more wavefront
 # chunking (trace.max_list_tiles) and the per-ray sub slab pass costs 4x.
@@ -2070,7 +2102,7 @@ def render_samples_binned(
     sample_offset=0,
     parity: bool = True,
     tile_base=0,
-    ray_tile: int = RAY_TILE,
+    ray_tile: int | None = None,
     debug=None,
 ) -> jax.Array:
     """Accumulate ``n_samples`` with per-bounce ray binning; returns (N, 3).
@@ -2083,6 +2115,8 @@ def render_samples_binned(
     from ..utils.debug import resolve_debug
 
     debug = resolve_debug(debug)
+    if ray_tile is None:
+        ray_tile = _binned_ray_tile(world)
     n = ro.shape[0]
     rd_n = normalize(rd)
     pad = (-n) % ray_tile
