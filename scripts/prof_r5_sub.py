@@ -21,7 +21,10 @@ def main() -> None:
 
     engine = sys.argv[1] if len(sys.argv) > 1 else "binned"
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 24
-    ray_tile = int(os.environ.get("PTAP_RAY_TILE", "512"))
+    # unset -> None: the binned engine applies its adaptive default
+    # (megakernel._binned_ray_tile); set PTAP_RAY_TILE to force a value
+    _rt = os.environ.get("PTAP_RAY_TILE")
+    ray_tile = int(_rt) if _rt else None  # fused resolves None below
 
     import jax
     import jax.numpy as jnp
@@ -47,6 +50,8 @@ def main() -> None:
         MK.render_samples_binned if engine == "binned"
         else MK.render_samples_fused
     )
+    if engine != "binned" and ray_tile is None:
+        ray_tile = MK.RAY_TILE
 
     # slab like render_accumulate does (SMEM worklist budget);
     # PTAP_SLAB_TILES overrides for the batch-density experiments
